@@ -1,0 +1,226 @@
+"""Closed-form auction kernels.
+
+The reference simulates implicit keywords by literally materializing every
+competitor bid and running a per-auction python loop
+(``nth_price_auction``, adcraft/synthetic_kw_helpers.py:116-180 — a
+partition/sort plus a searchsorted loop per auction). That design is hostile
+to TPUs: dynamic shapes, tiny tensors, host loops.
+
+Here the auction is reduced to its exact sufficient statistics:
+
+* With ``num_winners=1, n=2`` (the only configuration the reference ever
+  uses — ``ImplicitKeyword.auction`` defaults, synthetic_kw_classes.py:623-646)
+  the nth-price auction with zero-padding degenerates to: *you win an
+  auction iff your bid strictly exceeds every competitor bid (and 0), and
+  you pay the highest competitor bid (floored at 0 when there are fewer
+  than 3 bidders)*.
+
+* Therefore impressions ~ Binomial(n_auctions, p_win) with a closed-form
+  win probability, and each won auction's cost is an exact inverse-CDF
+  draw from the competitor-max distribution conditioned on losing to us.
+
+No per-auction tensor is ever built; a cell (one keyword in one
+sub-timestep) costs O(max_clicks) memory regardless of volume.
+
+Explicit keywords (parametric sigmoid + parametric cost,
+synthetic_kw_classes.py:457-575) were already distributional in the
+reference; they map 1:1.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from adcraft_tpu.config import CompetitorModel, CostModel, EnvConfig, KeywordKind
+from adcraft_tpu import distributions as dist
+
+Array = jax.Array
+
+
+class CellAuction(NamedTuple):
+    """Auction outcome sufficient statistics for a batch of cells.
+
+    A "cell" is (one keyword, one sub-timestep). Shapes below use ``...``
+    for the cell batch shape (usually ``(K,)``) and M for the static click
+    buffer ``cfg.max_clicks_per_cell``.
+    """
+
+    impressions: Array  # (...), int32 — auctions won
+    n_candidates: Array  # (...), int32 — click-coinflip count (see quirk below)
+    cost_draws: Array  # (..., M), money — i.i.d. cost-per-click draws
+
+
+def _single_abs_cents_win_threshold(bid: Array) -> Array:
+    """|Laplace| threshold equivalent to beating a cents-rounded competitor.
+
+    Competitor bid C = round(|L|, 2) (``bid_abs_laplace``,
+    synthetic_kw_helpers.py:104-113). Our bid is on the cents grid, and the
+    win requires C < bid strictly (searchsorted-left semantics,
+    synthetic_kw_helpers.py:167-171), i.e. C <= bid - 0.01, i.e.
+    |L| < bid - 0.005 (rounding boundary has measure zero).
+    """
+    return bid - 0.005
+
+
+def implicit_single_auction(
+    key: Array,
+    bid: Array,
+    n_auctions: Array,
+    bid_loc: Array,
+    bid_scale: Array,
+    max_clicks: int,
+    dtype=jnp.float32,
+) -> CellAuction:
+    """Single-competitor implicit auction (reference experiment config).
+
+    Reference: ``single_competitor`` + ``bid_abs_laplace``
+    (gymnasium_kw_utils.py:159-195). Exact semantics: win iff
+    round(|Laplace(loc, scale)|, 2) < bid; pay the competitor's rounded bid.
+    """
+    k_imp, k_cost = jax.random.split(key)
+    y0 = _single_abs_cents_win_threshold(bid)
+    p_win = dist.laplace_cdf(y0, bid_loc, bid_scale) - dist.laplace_cdf(
+        -y0, bid_loc, bid_scale
+    )
+    p_win = jnp.clip(p_win, 0.0, 1.0)
+    impressions = dist.binomial(k_imp, n_auctions, p_win)
+
+    # cost | win: L ~ Laplace(loc, scale) truncated to (-y0, y0), cost
+    # = round(|L|, 2). Exact inverse-CDF; i.i.d. across won auctions.
+    shape = bid.shape + (max_clicks,)
+    trunc = dist.truncated_laplace(
+        k_cost,
+        bid_loc[..., None],
+        bid_scale[..., None],
+        -y0[..., None],
+        y0[..., None],
+        shape,
+    )
+    costs = dist.round_cents(jnp.abs(trunc)).astype(dtype)
+    return CellAuction(impressions, impressions, costs)
+
+
+def implicit_pool_auction(
+    key: Array,
+    bid: Array,
+    n_auctions: Array,
+    bid_loc: Array,
+    bid_scale: Array,
+    max_bidders: Array,
+    participation_rate: Array,
+    max_clicks: int,
+    dtype=jnp.float32,
+) -> CellAuction:
+    """Binomial-pool implicit auction (``ImplicitKeyword`` defaults).
+
+    Reference synthetic_kw_classes.py:648-688: ``k ~ Binomial(max_bidders,
+    participation_rate)`` bidders drawn ONCE per auction() call (i.e. per
+    cell — "iffy: same num bidders in every sample", :621), each bidder's
+    bid raw Laplace(loc, scale) (signed, unrounded). Win iff bid > max of
+    the k bids (strict; and bid > padded 0s, always true for bid >= 0.01);
+    cost = max bid, floored at 0 when k < 3 because zero-padding enters the
+    top-3 array (synthetic_kw_helpers.py:153-161).
+    """
+    k_bidders, k_imp, k_cost = jax.random.split(key, 3)
+    k = dist.binomial(k_bidders, max_bidders, participation_rate).astype(jnp.float32)
+
+    f_bid = dist.laplace_cdf(bid, bid_loc, bid_scale)
+    p_win = jnp.where(k > 0, f_bid ** jnp.maximum(k, 1.0), 1.0)
+    impressions = dist.binomial(k_imp, n_auctions, p_win)
+
+    # cost | win: M = max of k Laplace draws given M < bid has CDF
+    # (F(y)/F(bid))^k, so M = F^{-1}(F(bid) * u^{1/k}).
+    shape = bid.shape + (max_clicks,)
+    u = jax.random.uniform(key=k_cost, shape=shape)
+    ksafe = jnp.maximum(k, 1.0)[..., None]
+    m = dist.laplace_icdf(
+        jnp.clip(f_bid[..., None] * u ** (1.0 / ksafe), 1e-38, 1.0 - 1e-12),
+        bid_loc[..., None],
+        bid_scale[..., None],
+    )
+    kcol = k[..., None]
+    costs = jnp.where(kcol == 0, 0.0, jnp.where(kcol < 3, jnp.maximum(m, 0.0), m))
+    return CellAuction(impressions, impressions, costs.astype(dtype))
+
+
+def explicit_auction(
+    key: Array,
+    bid: Array,
+    n_auctions: Array,
+    imp_thresh: Array,
+    imp_intercept: Array,
+    imp_slope: Array,
+    cost_model: CostModel,
+    max_clicks: int,
+    dtype=jnp.float32,
+) -> CellAuction:
+    """Explicit parametric auction.
+
+    Reference ``ExplicitKeyword.auction`` (synthetic_kw_classes.py:520-538):
+    impressions ~ Binomial(n_auctions, threshold_sigmoid(bid)); costs are
+    i.i.d. ``cost_create`` draws.
+
+    Phantom-click quirk (reproduced): ``sample_buyside_costs`` with
+    impressions < 1 returns ``np.array([0])`` (synthetic_kw_classes.py:514-515),
+    so a zero-impression cell still performs ONE buyside-click coinflip on a
+    zero-cost item (bidding_simulation.py:94-104) — explicit keywords can
+    convert and earn revenue on days with no impressions. ``n_candidates``
+    carries this: max(impressions, 1), with the cost draw zeroed when
+    impressions == 0.
+    """
+    k_imp, k_cost = jax.random.split(key)
+    rate = dist.threshold_sigmoid(bid, imp_thresh, imp_intercept, imp_slope)
+    impressions = dist.binomial(k_imp, n_auctions, rate)
+
+    shape = bid.shape + (max_clicks,)
+    if cost_model is CostModel.RUST_QUIRK:
+        costs = dist.cost_create(k_cost, bid[..., None], shape, dtype=dtype)
+    else:
+        costs = dist.generic_cost(k_cost, bid[..., None], shape, dtype=dtype)
+    # phantom-click path: single zero-cost candidate when no impressions
+    phantom = impressions == 0
+    n_candidates = jnp.maximum(impressions, 1)
+    costs = jnp.where(phantom[..., None], 0.0, costs)
+    return CellAuction(impressions, n_candidates, costs)
+
+
+def run_cell_auctions(
+    cfg: EnvConfig,
+    key: Array,
+    bids: Array,
+    n_auctions: Array,
+    kw,  # KeywordState with (K,)-shaped fields
+    dtype=jnp.float32,
+) -> CellAuction:
+    """Dispatch on the env's (static) keyword kind/competitor model."""
+    m = cfg.max_clicks_per_cell
+    if cfg.kind is KeywordKind.EXPLICIT:
+        return explicit_auction(
+            key,
+            bids,
+            n_auctions,
+            kw.imp_thresh,
+            kw.imp_intercept,
+            kw.imp_slope,
+            cfg.cost_model,
+            m,
+            dtype=dtype,
+        )
+    if cfg.competitor_model is CompetitorModel.SINGLE_ABS_CENTS:
+        return implicit_single_auction(
+            key, bids, n_auctions, kw.bid_loc, kw.bid_scale, m, dtype=dtype
+        )
+    return implicit_pool_auction(
+        key,
+        bids,
+        n_auctions,
+        kw.bid_loc,
+        kw.bid_scale,
+        kw.max_bidders,
+        kw.participation_rate,
+        m,
+        dtype=dtype,
+    )

@@ -1,0 +1,174 @@
+"""Static environment configuration.
+
+The reference spreads configuration across env kwargs
+(adcraft/gymnasium_kw_env.py:54-103), keyword-param dicts with a
+"explicit value OR alternative generating params OR sampled default" cascade
+(adcraft/synthetic_kw_classes.py:28-117), and experiment dicts
+(adcraft/experiment_utils/experiment_configs.py:8-98).
+
+Here everything that determines *shapes or compiled control flow* lives in a
+single frozen, hashable ``EnvConfig`` so it can be a static argument to jit.
+Everything stochastic or time-varying lives in the ``EnvState`` /
+``KeywordState`` pytrees (see adcraft_tpu.keywords / adcraft_tpu.env).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional, Tuple
+
+
+class KeywordKind(enum.Enum):
+    """Which auction mechanism the env's keywords use.
+
+    The reference subclasses ``Keyword`` into ``ExplicitKeyword``
+    (parametric bid->impression sigmoid + parametric cost model,
+    adcraft/synthetic_kw_classes.py:457) and ``ImplicitKeyword`` (literal
+    nth-price auction against sampled competitor bids, :578). Envs are
+    homogeneous in keyword kind, so it is a static config flag here rather
+    than per-object subclassing.
+    """
+
+    EXPLICIT = "explicit"
+    IMPLICIT = "implicit"
+
+
+class CostModel(enum.Enum):
+    """Cost-per-click model for explicit keywords.
+
+    RUST_QUIRK reproduces ``rust.cost_create`` (src/lib.rs:54-67): cost
+    draws are ``clamp(sqrt(bid)/4 + 2.2 + N(0, 1e-10+sqrt(bid)/6), 0, 4.4)``
+    — the 4.4/2.2 constants come from the placeholder fill value the Rust
+    code halves and clamps against. This is what the reference env actually
+    runs (synthetic_kw_classes.py:575, gymnasium_kw_utils.py:90).
+
+    PYTHON reproduces the documented model ``generic_cost``
+    (synthetic_kw_helpers.py:56-63):
+    ``round(clip(sqrt(bid)/4 + bid/2 + N(0, 1e-10+sqrt(bid)/6), 0, bid), 2)``.
+    """
+
+    RUST_QUIRK = "rust_quirk"
+    PYTHON = "python"
+
+
+class CompetitorModel(enum.Enum):
+    """Competitor-bid model for implicit keywords.
+
+    SINGLE_ABS_CENTS: one competitor whose bid is ``round(|Laplace(loc,
+    scale)|, 2)`` — the configuration used by every reference experiment
+    (gymnasium_kw_utils.py:159-195: ``single_competitor`` +
+    ``bid_abs_laplace``).
+
+    BINOMIAL_POOL: ``Binomial(max_bidders, participation_rate)`` bidders per
+    auction batch, raw (signed, unrounded) Laplace bids — the
+    ``ImplicitKeyword`` defaults (synthetic_kw_classes.py:648-688).
+    """
+
+    SINGLE_ABS_CENTS = "single_abs_cents"
+    BINOMIAL_POOL = "binomial_pool"
+
+
+@dataclasses.dataclass(frozen=True)
+class UpdaterConfig:
+    """Non-stationarity drift magnitudes.
+
+    Mirrors ``updater_params=[["vol",0.03],["ctr",0.03],["cvr",0.03]]``
+    (gymnasium_kw_env.py:62). Volume drifts by an additive uniform step
+    proportional to the *initial* mean volume; ctr/cvr drift
+    multiplicatively, clipped to [0, 1] (gymnasium_kw_env.py:114-158).
+    """
+
+    vol_scale: float = 0.03
+    ctr_scale: float = 0.03
+    cvr_scale: float = 0.03
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvConfig:
+    """Static (shape- and control-flow-determining) environment parameters.
+
+    Defaults mirror ``BiddingSimulation.__init__``
+    (adcraft/gymnasium_kw_env.py:54-65).
+    """
+
+    num_keywords: int = 10
+    max_days: int = 60
+    budget: float = 1000.0
+    loss_threshold: float = 10000.0
+
+    kind: KeywordKind = KeywordKind.EXPLICIT
+    cost_model: CostModel = CostModel.RUST_QUIRK
+    competitor_model: CompetitorModel = CompetitorModel.SINGLE_ABS_CENTS
+
+    # The day is split into this many sub-timesteps with a shared depleting
+    # budget (hardcoded 24 at bidding_simulation.py:213).
+    timesteps_per_day: int = 24
+
+    # Static shape bounds. ``max_volume`` bounds a keyword's daily auction
+    # count; the per-sub-timestep auction bound and the per-(t,kw) click
+    # buffer size are derived from it. Volume draws above the bound are
+    # clipped (and counted in diagnostics).
+    max_volume: int = 1024
+
+    # Non-stationarity. ``updater`` magnitudes are always carried; whether a
+    # keyword actually drifts is the per-keyword ``updater_mask`` in state
+    # (None mask in the reference == all False).
+    updater: UpdaterConfig = UpdaterConfig()
+
+    # use float64 for money arithmetic (parity-vs-oracle mode). Requires
+    # jax_enable_x64. Default float32 for TPU speed.
+    use_x64: bool = False
+
+    def __post_init__(self) -> None:
+        if self.num_keywords < 1:
+            raise ValueError("num_keywords must be >= 1")
+        if self.timesteps_per_day < 1:
+            raise ValueError("timesteps_per_day must be >= 1")
+        if self.max_volume < 1:
+            raise ValueError("max_volume must be >= 1")
+
+    # ---- derived static shapes ----
+
+    @property
+    def max_auctions_per_cell(self) -> int:
+        """Upper bound on auctions in one (sub-timestep, keyword) cell.
+
+        The volume splitter gives the first sub-timestep
+        ``vol - (T-1)*(vol//T) = vol//T + vol%T`` auctions and every later
+        one ``vol//T`` (bidding_simulation.py:151-167). Over all volumes
+        <= max_volume the first-cell count is bounded by
+        ``max_volume//T + (T-1)`` (and by max_volume itself).
+        """
+        t = self.timesteps_per_day
+        return min(self.max_volume, self.max_volume // t + (t - 1))
+
+    @property
+    def max_clicks_per_cell(self) -> int:
+        """Click/cost buffer length per (sub-timestep, keyword) cell."""
+        return self.max_auctions_per_cell
+
+    @property
+    def cents_costs(self) -> bool:
+        """True when the cost model only produces cent-quantized values.
+
+        Implicit single-competitor costs are ``round(|Laplace|, 2)`` and
+        the documented Python explicit cost model rounds to cents; for
+        these, budget gating and money accounting run in exact integer
+        cents — association-free (bit-identical under any XLA reduction
+        order) and exact even in float32 mode. The rust-quirk explicit
+        cost model and the binomial-pool competitor model produce
+        continuous costs and gate in floating point.
+        """
+        if self.kind is KeywordKind.IMPLICIT:
+            return self.competitor_model is CompetitorModel.SINGLE_ABS_CENTS
+        return self.cost_model is CostModel.PYTHON
+
+    @property
+    def money_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.float64 if self.use_x64 else jnp.float32
+
+    def replace(self, **kw) -> "EnvConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,219 @@
+"""Stateless, key-driven distribution kernels.
+
+TPU-native replacements for the reference's numpy samplers
+(adcraft/synthetic_kw_helpers.py) and Rust kernels (src/lib.rs). Every
+function takes an explicit PRNG key; nothing here holds state. All are pure
+jnp and fuse into the surrounding jit — the reference's Rust reductions
+(``sum_list`` etc., src/lib.rs:108-140) have no counterpart because they
+vanish into the fused step.
+
+The reference's Rust samplers use an *unseeded* ``thread_rng()``
+(src/lib.rs:25,44,61,75,320) so they are non-reproducible; these kernels are
+the seeded versions its TODOs (src/lib.rs:316-319) intended.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# ---------------------------------------------------------------------------
+# scalar helpers (reference: synthetic_kw_helpers.py:10-25, 82-89)
+# ---------------------------------------------------------------------------
+
+
+def probify(x: Array) -> Array:
+    """Clip to [0, 1] (reference synthetic_kw_helpers.py:10-16)."""
+    return jnp.clip(x, 0.0, 1.0)
+
+
+def nonnegify(x: Array) -> Array:
+    """Clip below at 0 (reference synthetic_kw_helpers.py:19-25)."""
+    return jnp.maximum(x, 0.0)
+
+
+def beta_param(mean: Array) -> Array:
+    """Beta distribution's beta for alpha=1 and given mean.
+
+    Reference synthetic_kw_helpers.py:82-84.
+    """
+    return (1.0 - mean) / mean
+
+
+def sigmoid(x: Array, slope: Array, intercept: Array) -> Array:
+    """Logistic ``1/(1+exp(-slope*(x-intercept)))``.
+
+    Reference synthetic_kw_helpers.py:87-89 and src/lib.rs:290-294.
+    """
+    return jax.nn.sigmoid(slope * (x - intercept))
+
+
+def round_cents(x: Array) -> Array:
+    """Round to 2 decimals, matching ``np.around(x, 2)`` (half-to-even).
+
+    The reference rounds bids, costs and revenues to cents everywhere
+    (synthetic_kw_helpers.py:63,69,96-113; gymnasium_kw_env.py:199,215).
+    """
+    return jnp.round(x * 100.0) / 100.0
+
+
+# ---------------------------------------------------------------------------
+# samplers
+# ---------------------------------------------------------------------------
+
+
+def nonneg_int_normal(key: Array, mean: Array, std: Array, shape=None) -> Array:
+    """Non-negative integer draws from a clipped, rounded normal.
+
+    ``round(max(N(mean, std), 0))`` — replaces
+    ``rust.nonneg_int_normal_sampler`` (src/lib.rs:314-325, called from
+    synthetic_kw_helpers.py:183-193). The Rust version rounds half away from
+    zero; the boundary set has measure zero so plain round is used.
+    Returns int32.
+    """
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    if shape is None:
+        shape = jnp.broadcast_shapes(mean.shape, std.shape)
+    draw = mean + std * jax.random.normal(key, shape, dtype=jnp.float32)
+    return jnp.round(jnp.maximum(draw, 0.0)).astype(jnp.int32)
+
+
+def binomial(key: Array, n: Array, p: Array, shape=None) -> Array:
+    """Binomial(n, p) draws as int32.
+
+    Replaces ``rust.binomial_impressions`` (src/lib.rs:70-76) and the
+    counting of ``coinflips`` Bernoulli arrays
+    (synthetic_kw_helpers.py:73-77). Guards against p outside [0, 1] and
+    n == 0 (jax.random.binomial returns nan for degenerate inputs on some
+    paths).
+    """
+    n = jnp.asarray(n, jnp.float32)
+    p = jnp.clip(jnp.asarray(p, jnp.float32), 0.0, 1.0)
+    if shape is None:
+        shape = jnp.broadcast_shapes(n.shape, p.shape)
+    draw = jax.random.binomial(key, n, p, shape=shape, dtype=jnp.float32)
+    draw = jnp.where(jnp.isnan(draw), 0.0, draw)
+    return jnp.clip(draw, 0.0, n).astype(jnp.int32)
+
+
+def rev_normal_cents(
+    key: Array, mean: Array, std: Array, shape, dtype=jnp.float32
+) -> Array:
+    """Per-conversion revenue draws: ``round(max(N(mean, std), 0.01), 2)``.
+
+    Replaces the ``rev_normal`` sampler factory
+    (synthetic_kw_helpers.py:66-70).
+    """
+    draw = mean + std * jax.random.normal(key, shape, dtype=dtype)
+    return round_cents(jnp.maximum(draw, 0.01))
+
+
+def abs_laplace_cents(
+    key: Array, loc: Array, scale: Array, shape, dtype=jnp.float32
+) -> Array:
+    """``round(|Laplace(loc, scale)|, 2)`` draws.
+
+    Replaces ``bid_abs_laplace`` (synthetic_kw_helpers.py:104-113) with
+    ``lowest_bid=0`` as used for single-competitor implicit keywords
+    (gymnasium_kw_utils.py:184).
+    """
+    draw = loc + scale * jax.random.laplace(key, shape, dtype=dtype)
+    return round_cents(jnp.abs(draw))
+
+
+def beta_mean_alpha1(key: Array, mean: Array, shape=None) -> Array:
+    """Beta(1, (1-m)/m) draw — the reference's default CTR/CVR prior.
+
+    Reference synthetic_kw_classes.py:391-437: ctr/cvr are drawn from a
+    Beta with alpha=1 and beta chosen to hit a target mean.
+    """
+    mean = jnp.asarray(mean, jnp.float32)
+    if shape is None:
+        shape = mean.shape
+    b = beta_param(probify(mean))
+    return jax.random.beta(key, 1.0, b, shape=shape)
+
+
+# ---------------------------------------------------------------------------
+# explicit-keyword models (reference: src/lib.rs:54-67,93-105)
+# ---------------------------------------------------------------------------
+
+_RUST_COST_PLACEHOLDER = 4.4  # Array::from_elem fill value, src/lib.rs:55
+
+
+def threshold_sigmoid(
+    bid: Array, thresh: Array, intercept: Array, slope: Array
+) -> Array:
+    """Thresholded sigmoid bid -> impression rate.
+
+    Reference ``rust.threshold_sigmoid`` (src/lib.rs:93-105):
+    ``t = clip((2+1e-10)*thresh, 0, 1)/(2+1e-10)``,
+    ``rate = clip((1+2t)*sigmoid(slope*(bid-intercept)) - t, 0, 1)``.
+    Rates below the threshold snap to 0 and above (1-thresh) snap to 1.
+    (The Rust default-handling bug — defaults unreachable, missing key
+    panics, src/lib.rs:302-308 — is fixed by taking explicit parameters.)
+    """
+    halver = 2.0 + 1e-10
+    t = jnp.clip(halver * thresh, 0.0, 1.0) / halver
+    r = sigmoid(bid, slope, intercept)
+    return jnp.clip((1.0 + 2.0 * t) * r - t, 0.0, 1.0)
+
+
+def cost_create(key: Array, bid: Array, shape, dtype=jnp.float32) -> Array:
+    """Cost-per-click draws reproducing ``rust.cost_create`` exactly.
+
+    src/lib.rs:54-67: each draw is
+    ``clamp(sqrt(bid)/4 + 4.4/2 + N(0, 1e-10 + sqrt(bid)/6), 0, 4.4)``
+    because the output array is pre-filled with 4.4 and the fill value is
+    used as both the additive ``p/2`` term and the clamp ceiling. NOT
+    rounded to cents (unlike the Python ``generic_cost``).
+    """
+    s = jnp.sqrt(jnp.asarray(bid, dtype))
+    noise = (1e-10 + s / 6.0) * jax.random.normal(key, shape, dtype=dtype)
+    raw = s / 4.0 + _RUST_COST_PLACEHOLDER / 2.0 + noise
+    return jnp.clip(raw, 0.0, _RUST_COST_PLACEHOLDER)
+
+
+def generic_cost(key: Array, bid: Array, shape, dtype=jnp.float32) -> Array:
+    """Cost-per-click draws per the documented Python model.
+
+    synthetic_kw_helpers.py:56-63:
+    ``round(clip(sqrt(bid)/4 + bid/2 + N(0, 1e-10+sqrt(bid)/6), 0, bid), 2)``.
+    """
+    bid = jnp.asarray(bid, dtype)
+    s = jnp.sqrt(bid)
+    noise = (1e-10 + s / 6.0) * jax.random.normal(key, shape, dtype=dtype)
+    raw = s / 4.0 + bid / 2.0 + noise
+    return round_cents(jnp.clip(raw, 0.0, bid))
+
+
+# ---------------------------------------------------------------------------
+# Laplace CDF utilities (for the closed-form implicit auction)
+# ---------------------------------------------------------------------------
+
+
+def laplace_cdf(x: Array, loc: Array, scale: Array) -> Array:
+    """CDF of Laplace(loc, scale)."""
+    z = (x - loc) / scale
+    return jnp.where(z < 0, 0.5 * jnp.exp(z), 1.0 - 0.5 * jnp.exp(-z))
+
+
+def laplace_icdf(u: Array, loc: Array, scale: Array) -> Array:
+    """Inverse CDF of Laplace(loc, scale). u in (0, 1)."""
+    # Branch at u = 0.5; clamp logs away from 0 to stay finite.
+    lo = jnp.log(jnp.maximum(2.0 * u, 1e-38))
+    hi = -jnp.log(jnp.maximum(2.0 * (1.0 - u), 1e-38))
+    return loc + scale * jnp.where(u < 0.5, lo, hi)
+
+
+def truncated_laplace(
+    key: Array, loc: Array, scale: Array, low: Array, high: Array, shape
+) -> Array:
+    """Exact inverse-CDF draws of Laplace(loc, scale) truncated to [low, high]."""
+    f_lo = laplace_cdf(low, loc, scale)
+    f_hi = laplace_cdf(high, loc, scale)
+    u = jax.random.uniform(key, shape)
+    return laplace_icdf(f_lo + u * (f_hi - f_lo), loc, scale)

@@ -1,0 +1,322 @@
+"""The fused day-of-bidding kernel.
+
+Replaces the reference hot path (SURVEY.md §3.1):
+``BiddingSimulation.step`` -> ``simulate_epoch_of_bidding_on_campaign`` ->
+24 sub-timesteps x keywords x per-click Python loops with hundreds of
+Python<->Rust FFI crossings per env-step
+(adcraft/gymnasium_kw_env.py:160-269, adcraft/bidding_simulation.py:44-234).
+
+TPU-native structure:
+
+* All stochastic sampling for a sub-timestep (impressions, click counts,
+  cost draws, conversion counts, revenue draws) is vectorized over the K
+  keywords; the only sequential computation is budget threading.
+* The per-click budget-break loop (bidding_simulation.py:97-104) becomes a
+  prefix-sum rule: a click is accepted iff every prefix sum of clicked
+  costs up to and including it stays <= the keyword's starting budget
+  (identical semantics, including break-at-first-overspend, for costs of
+  any sign).
+* The shared depleting budget across (sub-timestep, keyword) cells
+  (bidding_simulation.py:216-233) is a ``lax.scan`` over keywords inside a
+  ``lax.scan`` over sub-timesteps, with cheap per-cell vector math. Both
+  break conditions (keyword loop and timestep loop, :230-233) collapse into
+  one ``broken`` flag because a break permanently ends the day.
+
+Everything is shape-static: cost/revenue buffers have length
+``cfg.max_clicks_per_cell`` and invalid lanes are poisoned with +inf before
+the prefix sum.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from adcraft_tpu import distributions as dist
+from adcraft_tpu.auction import run_cell_auctions
+from adcraft_tpu.config import EnvConfig
+from adcraft_tpu.keywords import KeywordState
+
+Array = jax.Array
+
+
+class DayOutcomes(NamedTuple):
+    """Per-keyword aggregates for one simulated day, shape (K,).
+
+    Mirrors the fields of ``BiddingOutcomes``
+    (adcraft/bidding_simulation.py:10-38) that survive into observations
+    (gymnasium_kw_env.py:232-244), plus the impression-share bookkeeping.
+    """
+
+    impressions: Array  # int32
+    buyside_clicks: Array  # int32
+    cost: Array  # money — sum of accepted click costs
+    sellside_conversions: Array  # int32
+    revenue: Array  # money — sum of per-conversion revenues
+    profit: Array  # money — revenue - cost
+    volume: Array  # int32 — total day volume sampled
+    # Impression-share denominator with the reference's accounting quirk:
+    # ``combine_outcomes`` re-derives a cell's volume as 0 whenever the cell
+    # won no impressions (bidding_simulation.py:129-137), and cells after a
+    # budget break are never simulated, so the day's share is
+    # impressions / sum(cell volume where cell simulated & impressions>=1).
+    eligible_volume: Array  # int32
+
+    @property
+    def impression_share(self) -> Array:
+        return jnp.where(
+            self.eligible_volume > 0,
+            self.impressions / jnp.maximum(self.eligible_volume, 1),
+            0.0,
+        )
+
+
+def split_volume(cfg: EnvConfig, volume: Array) -> Array:
+    """Split daily volume uniformly over sub-timesteps.
+
+    Reference ``uniform_get_auctions_per_timestep``
+    (bidding_simulation.py:151-167): sub-timestep 0 gets
+    ``vol - (T-1)*(vol//T)``, all others get ``vol//T``.
+    Returns (T, K) int32 from (K,) volumes.
+    """
+    t = cfg.timesteps_per_day
+    per = volume // t
+    first = volume - (t - 1) * per
+    rest = jnp.broadcast_to(per, (t - 1,) + volume.shape)
+    return jnp.concatenate([first[None], rest], axis=0)
+
+
+def _gate_keywords(
+    budget0: Array,
+    broken0: Array,
+    prefix: Array,
+    n_clicks: Array,
+    unroll: int = 1,
+) -> Tuple[Tuple[Array, Array], Tuple[Array, Array, Array]]:
+    """Thread the shared budget through keywords in order.
+
+    ``prefix`` is (K, M+1): prefix[k, j] = sum of keyword k's first j
+    clicked-cost draws; lanes at or beyond ``n_clicks[k]`` are invalid and
+    masked here. Returns final (budget, broken) and per-keyword
+    (accepted_clicks, spend, simulated).
+    """
+    m = prefix.shape[-1] - 1
+    lane = jnp.arange(m)
+
+    def body(carry, xs):
+        b, broken = carry
+        prefix_k, nk = xs
+        # accept the maximal prefix whose running sums all stay <= b
+        valid = (prefix_k[1:] <= b) & (lane < nk)
+        ok = jnp.cumprod(valid.astype(jnp.int32))
+        p = jnp.sum(ok).astype(jnp.int32)
+        spend = prefix_k[p]
+        p = jnp.where(broken, 0, p)
+        spend = jnp.where(broken, jnp.zeros_like(spend), spend)
+        nb = b - spend
+        # reference: ``remaining_budget -= ...; if remaining_budget <= 0:
+        # break`` (bidding_simulation.py:225-233)
+        return (nb, broken | (nb <= 0)), (p, spend, ~broken)
+
+    return lax.scan(body, (budget0, broken0), (prefix, n_clicks), unroll=unroll)
+
+
+def simulate_day(
+    cfg: EnvConfig,
+    key: Array,
+    kw: KeywordState,
+    bids: Array,
+    budget: Array,
+    dtype=None,
+) -> DayOutcomes:
+    """Simulate one full day (24 sub-timesteps) of campaign bidding.
+
+    Pure function: (key, keyword state, bids (K,), scalar budget) ->
+    per-keyword DayOutcomes. Equivalent to
+    ``simulate_epoch_of_bidding_on_campaign`` (bidding_simulation.py:170-234).
+    """
+    if dtype is None:
+        dtype = cfg.money_dtype
+    K = kw.num_keywords
+    M = cfg.max_clicks_per_cell
+    T = cfg.timesteps_per_day
+    cents = cfg.cents_costs
+
+    k_vol, k_cells = jax.random.split(key)
+    volume = dist.nonneg_int_normal(k_vol, kw.vol_mean, kw.vol_std)
+    volume = jnp.minimum(volume, cfg.max_volume)
+    n_auctions = split_volume(cfg, volume)  # (T, K)
+
+    def timestep_body(carry, xs):
+        b, broken = carry
+        t, n_auc_t = xs
+        kt = jax.random.fold_in(k_cells, t)
+        k_auc, k_click, k_conv, k_rev = jax.random.split(kt, 4)
+
+        cell = run_cell_auctions(cfg, k_auc, bids, n_auc_t, kw, dtype=dtype)
+        # buyside click coinflips per candidate (synthetic_kw_classes.py:207-219)
+        n_clicks = dist.binomial(k_click, cell.n_candidates, kw.bctr)
+        # prefix-sum the clicked-cost draws for budget gating. Cents models
+        # gate in exact integer cents (cfg.cents_costs — association-free,
+        # exact even in f32 mode); continuous models gate in the money
+        # dtype. Lanes at/after n_clicks are masked inside the gate.
+        if cents:
+            cents_dtype = jnp.int64 if cfg.use_x64 else jnp.int32
+            costs = jnp.round(cell.cost_draws * 100.0).astype(cents_dtype)
+            pad = jnp.zeros((K, 1), cents_dtype)
+        else:
+            costs = cell.cost_draws
+            pad = jnp.zeros((K, 1), dtype)
+        prefix = jnp.concatenate([pad, jnp.cumsum(costs, axis=1)], axis=1)
+        (b, broken), (accepted, spend, simulated) = _gate_keywords(
+            b, broken, prefix, n_clicks
+        )
+
+        # sellside conversion coinflips on accepted clicks
+        # (bidding_simulation.py:106-109; coinflips are `u <= p`,
+        # synthetic_kw_helpers.py:73-77). Flags are drawn per candidate and
+        # the first `accepted` consumed, so the draw table is independent
+        # of budget gating (the oracle injects these, tests/test_step.py).
+        conv_flags = (
+            jax.random.uniform(k_conv, (K, M)) <= kw.sctr[:, None]
+        ).astype(jnp.int32)
+        conv_prefix = jnp.concatenate(
+            [jnp.zeros((K, 1), jnp.int32), jnp.cumsum(conv_flags, axis=1)], axis=1
+        )
+        n_conv = jnp.take_along_axis(conv_prefix, accepted[:, None], axis=1)[:, 0]
+        # revenue draws are always cent-quantized (rev_normal_cents); sum
+        # them as exact integer cents so accumulation order cannot matter
+        rev_draws = dist.rev_normal_cents(
+            k_rev, kw.rev_mean[:, None], kw.rev_std[:, None], (K, M), dtype=dtype
+        )
+        rev_dtype = jnp.int64 if cfg.use_x64 else jnp.int32
+        rev_cents = jnp.round(rev_draws * 100.0).astype(rev_dtype)
+        rev_prefix = jnp.concatenate(
+            [jnp.zeros((K, 1), rev_dtype), jnp.cumsum(rev_cents, axis=1)], axis=1
+        )
+        revenue_c = jnp.take_along_axis(rev_prefix, n_conv[:, None], axis=1)[:, 0]
+
+        imp = jnp.where(simulated, cell.impressions, 0)
+        out = (
+            imp,
+            jnp.where(simulated, accepted, 0),
+            jnp.where(simulated, spend, jnp.zeros_like(spend)),
+            jnp.where(simulated, n_conv, 0),
+            jnp.where(simulated, revenue_c, 0),
+            jnp.where(simulated & (imp >= 1), n_auc_t, 0),
+        )
+        return (b, broken), out
+
+    if cents:
+        cdt = jnp.int64 if cfg.use_x64 else jnp.int32
+        cmax = float(jnp.iinfo(cdt).max)
+        init_b = jnp.minimum(jnp.round(jnp.asarray(budget) * 100.0), cmax).astype(cdt)
+    else:
+        init_b = jnp.asarray(budget, dtype)
+    init = (init_b, jnp.asarray(False))
+    xs = (jnp.arange(T), n_auctions)
+    _, (imp, clicks, cost, conv, rev_c, elig) = lax.scan(timestep_body, init, xs)
+
+    impressions = jnp.sum(imp, axis=0).astype(jnp.int32)
+    buyside_clicks = jnp.sum(clicks, axis=0).astype(jnp.int32)
+    if cents:
+        cost_sum = jnp.sum(cost, axis=0).astype(dtype) / 100.0
+    else:
+        cost_sum = jnp.sum(cost, axis=0)
+    conversions = jnp.sum(conv, axis=0).astype(jnp.int32)
+    revenue_sum = jnp.sum(rev_c, axis=0).astype(dtype) / 100.0
+    return DayOutcomes(
+        impressions=impressions,
+        buyside_clicks=buyside_clicks,
+        cost=cost_sum,
+        sellside_conversions=conversions,
+        revenue=revenue_sum,
+        profit=revenue_sum - cost_sum,
+        volume=volume,
+        eligible_volume=jnp.sum(elig, axis=0).astype(jnp.int32),
+    )
+
+
+def sample_day_draws(
+    cfg: EnvConfig, key: Array, kw: KeywordState, bids: Array, dtype=None
+):
+    """Materialize the full day's draw table — parity-test use only.
+
+    Replicates ``simulate_day``'s key tree exactly (k_vol/k_cells split,
+    per-sub-timestep fold_in, 4-way site split) so the numpy oracle
+    (adcraft_tpu.oracle.simulate_day_numpy) can be driven with the very
+    draws the fused kernel consumes. Memory scales with T*K*M; do not use
+    on large configs.
+    """
+    if dtype is None:
+        dtype = cfg.money_dtype
+    import numpy as np
+
+    K = kw.num_keywords
+    M = cfg.max_clicks_per_cell
+    T = cfg.timesteps_per_day
+
+    k_vol, k_cells = jax.random.split(key)
+    volume = dist.nonneg_int_normal(k_vol, kw.vol_mean, kw.vol_std)
+    volume = jnp.minimum(volume, cfg.max_volume)
+    n_auctions = split_volume(cfg, volume)
+
+    imps, clicks, costs, flags, revs = [], [], [], [], []
+    for t in range(T):
+        kt = jax.random.fold_in(k_cells, t)
+        k_auc, k_click, k_conv, k_rev = jax.random.split(kt, 4)
+        cell = run_cell_auctions(cfg, k_auc, bids, n_auctions[t], kw, dtype=dtype)
+        n_clicks = dist.binomial(k_click, cell.n_candidates, kw.bctr)
+        conv_flags = jax.random.uniform(k_conv, (K, M)) <= kw.sctr[:, None]
+        rev_draws = dist.rev_normal_cents(
+            k_rev, kw.rev_mean[:, None], kw.rev_std[:, None], (K, M), dtype=dtype
+        )
+        imps.append(cell.impressions)
+        clicks.append(n_clicks)
+        costs.append(cell.cost_draws)
+        flags.append(conv_flags)
+        revs.append(rev_draws)
+    return {
+        "volume": np.asarray(volume),
+        "impressions": np.stack([np.asarray(x) for x in imps]),
+        "n_clicks": np.stack([np.asarray(x) for x in clicks]),
+        "costs": np.stack([np.asarray(x) for x in costs]),
+        "conv_flags": np.stack([np.asarray(x) for x in flags]),
+        "revs": np.stack([np.asarray(x) for x in revs]),
+    }
+
+
+def update_keywords(
+    cfg: EnvConfig, key: Array, kw: KeywordState
+) -> KeywordState:
+    """Non-stationarity drift after a day of bidding.
+
+    Reference ``update_keywords`` (gymnasium_kw_env.py:114-158): per masked
+    keyword, mean volume takes a uniform additive step scaled by the
+    drift reference (see KeywordState.vol_drift_ref), clipped nonnegative;
+    ctr and cvr take uniform multiplicative steps, clipped to [0, 1].
+    """
+    k_vol, k_ctr, k_cvr = jax.random.split(key, 3)
+    K = kw.num_keywords
+    u = cfg.updater
+    vol_step = jax.random.uniform(
+        k_vol, (K,), minval=-u.vol_scale, maxval=u.vol_scale
+    )
+    ctr_step = jax.random.uniform(
+        k_ctr, (K,), minval=-u.ctr_scale, maxval=u.ctr_scale
+    )
+    cvr_step = jax.random.uniform(
+        k_cvr, (K,), minval=-u.cvr_scale, maxval=u.cvr_scale
+    )
+    mask = kw.updater_mask
+    new_vol = dist.nonnegify(kw.vol_mean + vol_step * kw.vol_drift_ref)
+    new_bctr = dist.probify(kw.bctr * (1.0 + ctr_step))
+    new_sctr = dist.probify(kw.sctr * (1.0 + cvr_step))
+    return kw._replace(
+        vol_mean=jnp.where(mask, new_vol, kw.vol_mean),
+        bctr=jnp.where(mask, new_bctr, kw.bctr),
+        sctr=jnp.where(mask, new_sctr, kw.sctr),
+    )

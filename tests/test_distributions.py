@@ -1,0 +1,209 @@
+"""Distribution kernel tests.
+
+Mirrors the reference's helper-math exactness tests
+(adcraft/tests/test_synthetic_kw_helpers.py) and its native-vs-python
+statistical-equivalence tests (adcraft/tests/rust/test_helpers.py), adapted
+to key-driven sampling.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adcraft_tpu import distributions as dist
+
+
+@pytest.mark.unit
+@pytest.mark.parametrize(
+    "x,expected",
+    [(-1.0, 0.0), (0.0, 0.0), (0.5, 0.5), (1.0, 1.0), (2.0, 1.0)],
+)
+def test_probify(x, expected):
+    assert float(dist.probify(jnp.asarray(x))) == expected
+
+
+@pytest.mark.unit
+def test_probify_array():
+    out = dist.probify(jnp.asarray([-0.5, 0.25, 1.5]))
+    np.testing.assert_allclose(out, [0.0, 0.25, 1.0])
+
+
+@pytest.mark.unit
+@pytest.mark.parametrize("x,expected", [(-3.0, 0.0), (0.0, 0.0), (2.5, 2.5)])
+def test_nonnegify(x, expected):
+    assert float(dist.nonnegify(jnp.asarray(x))) == expected
+
+
+@pytest.mark.unit
+def test_beta_param():
+    # reference test_synthetic_kw_helpers.py: beta_param(m) = (1-m)/m
+    assert float(dist.beta_param(jnp.asarray(0.5))) == pytest.approx(1.0)
+    assert float(dist.beta_param(jnp.asarray(0.25))) == pytest.approx(3.0)
+
+
+@pytest.mark.unit
+@pytest.mark.parametrize(
+    "x,s,t,expected",
+    [
+        (0.0, 1.0, 0.0, 0.5),
+        (1.0, 1.0, 0.0, 0.7311),
+        (0.0, 2.0, 1.0, 0.1192),
+        (-1.0, 1.0, 0.0, 0.2689),
+    ],
+)
+def test_sigmoid_values(x, s, t, expected):
+    # 4-decimal expected values, as in tests/test_synthetic_kw_helpers.py:90
+    got = float(dist.sigmoid(jnp.asarray(x), jnp.asarray(s), jnp.asarray(t)))
+    assert got == pytest.approx(expected, abs=1e-4)
+
+
+@pytest.mark.unit
+def test_round_cents_matches_numpy():
+    # exact half-cent boundaries are excluded: they are measure-zero for
+    # continuous draws and f32/f64 disagree on which side of .5 they land
+    vals = np.asarray([0.004, 0.0521, 1.2345, 2.6789, -0.004, 3.999], np.float32)
+    got = np.asarray(dist.round_cents(jnp.asarray(vals)))
+    np.testing.assert_allclose(got, np.around(vals.astype(np.float64), 2), atol=1e-6)
+
+
+@pytest.mark.unit
+def test_nonneg_int_normal_moments(key):
+    draws = dist.nonneg_int_normal(
+        key, jnp.full((100_000,), 100.0), jnp.full((100_000,), 10.0)
+    )
+    assert draws.dtype == jnp.int32
+    assert float(draws.min()) >= 0
+    assert float(draws.mean()) == pytest.approx(100.0, abs=0.5)
+    assert float(jnp.std(draws.astype(jnp.float32))) == pytest.approx(10.0, rel=0.05)
+
+
+@pytest.mark.unit
+def test_nonneg_int_normal_clips_at_zero(key):
+    draws = dist.nonneg_int_normal(
+        key, jnp.full((50_000,), 0.5), jnp.full((50_000,), 2.0)
+    )
+    assert float(draws.min()) == 0
+    # compare against the reference formula round(max(N, 0)) via numpy
+    rng = np.random.default_rng(0)
+    ref = np.round(np.maximum(rng.normal(0.5, 2.0, 200_000), 0.0))
+    assert float(draws.mean()) == pytest.approx(ref.mean(), rel=0.05)
+
+
+@pytest.mark.unit
+def test_binomial_moments(key):
+    n, p = 50.0, 0.3
+    draws = dist.binomial(key, jnp.full((100_000,), n), jnp.full((100_000,), p))
+    assert float(draws.mean()) == pytest.approx(n * p, rel=0.02)
+    assert float(jnp.var(draws.astype(jnp.float32))) == pytest.approx(
+        n * p * (1 - p), rel=0.05
+    )
+
+
+@pytest.mark.unit
+def test_binomial_degenerate(key):
+    zeros = dist.binomial(key, jnp.zeros((10,)), jnp.full((10,), 0.5))
+    np.testing.assert_array_equal(np.asarray(zeros), 0)
+    all_win = dist.binomial(key, jnp.full((10,), 7.0), jnp.ones((10,)))
+    np.testing.assert_array_equal(np.asarray(all_win), 7)
+
+
+@pytest.mark.unit
+def test_rev_normal_cents(key):
+    draws = dist.rev_normal_cents(key, 1.0, 0.25, (100_000,))
+    # floored at 0.01 and on the cents grid
+    assert float(draws.min()) >= 0.01 - 1e-6
+    cents = np.asarray(draws) * 100
+    np.testing.assert_allclose(cents, np.round(cents), atol=1e-3)
+    assert float(draws.mean()) == pytest.approx(1.0, abs=0.01)
+
+
+@pytest.mark.unit
+def test_abs_laplace_cents_matches_reference_distribution(key):
+    # statistical equivalence vs the numpy implementation
+    # (synthetic_kw_helpers.py:104-113), in the spirit of
+    # tests/rust/test_helpers.py
+    loc, scale = 0.55, 0.15
+    draws = np.asarray(dist.abs_laplace_cents(key, loc, scale, (200_000,)))
+    rng = np.random.default_rng(3)
+    ref = np.around(np.abs(rng.laplace(loc, scale, 200_000)), 2)
+    assert draws.mean() == pytest.approx(ref.mean(), rel=0.02)
+    assert draws.std() == pytest.approx(ref.std(), rel=0.02)
+
+
+@pytest.mark.unit
+def test_threshold_sigmoid_matches_rust_semantics():
+    # src/lib.rs:93-105 with thresh=0.05, intercept=0.5, slope=5
+    bid = jnp.linspace(0.0, 3.0, 31)
+    thresh, intercept, slope = 0.05, 0.5, 5.0
+    got = np.asarray(dist.threshold_sigmoid(bid, thresh, intercept, slope))
+    halver = 2.0 + 1e-10
+    t = np.clip(halver * thresh, 0.0, 1.0) / halver
+    r = 1.0 / (1.0 + np.exp(-slope * (np.asarray(bid) - intercept)))
+    want = np.clip((1 + 2 * t) * r - t, 0.0, 1.0)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # thresholding snaps the upper tail ((1+2t)*r - t > 1 for r ~ 1)
+    assert got[-1] == 1.0
+    # and snaps the lower tail once the sigmoid drops below t/(1+2t)
+    low = np.asarray(
+        dist.threshold_sigmoid(jnp.asarray(-2.0), thresh, intercept, slope)
+    )
+    assert low == 0.0
+
+
+@pytest.mark.unit
+def test_cost_create_matches_rust_semantics(key):
+    # src/lib.rs:54-67: clamp(sqrt(x)/4 + 2.2 + N(0, 1e-10+sqrt(x)/6), 0, 4.4)
+    bid = 1.44
+    draws = np.asarray(dist.cost_create(key, bid, (200_000,)))
+    assert draws.min() >= 0.0
+    assert draws.max() <= 4.4
+    want_mean = np.sqrt(bid) / 4 + 2.2
+    assert draws.mean() == pytest.approx(want_mean, rel=0.01)
+    assert draws.std() == pytest.approx(np.sqrt(bid) / 6, rel=0.02)
+
+
+@pytest.mark.unit
+def test_generic_cost_matches_python_semantics(key):
+    # synthetic_kw_helpers.py:56-63 under a fixed numpy seed (statistical)
+    bid = 2.25
+    draws = np.asarray(dist.generic_cost(key, bid, (200_000,)))
+    rng = np.random.default_rng(7)
+    noise = rng.normal(0, 1e-10 + np.sqrt(bid) / 6, 200_000)
+    ref = np.around(np.clip(np.sqrt(bid) / 4 + bid / 2 + noise, 0.0, bid), 2)
+    assert draws.min() >= 0.0
+    assert draws.max() <= bid
+    assert draws.mean() == pytest.approx(ref.mean(), abs=0.01)
+    assert draws.std() == pytest.approx(ref.std(), rel=0.05)
+
+
+@pytest.mark.unit
+def test_laplace_cdf_icdf_roundtrip():
+    u = jnp.linspace(0.01, 0.99, 99)
+    x = dist.laplace_icdf(u, 0.3, 0.2)
+    u2 = dist.laplace_cdf(x, 0.3, 0.2)
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u), atol=1e-5)
+
+
+@pytest.mark.unit
+def test_truncated_laplace_bounds_and_distribution(key):
+    lo, hi = -0.4, 0.7
+    draws = np.asarray(
+        dist.truncated_laplace(key, 0.1, 0.3, lo, hi, (200_000,))
+    )
+    assert draws.min() >= lo and draws.max() <= hi
+    # KS-style check against rejection sampling
+    rng = np.random.default_rng(11)
+    ref = rng.laplace(0.1, 0.3, 2_000_000)
+    ref = ref[(ref >= lo) & (ref <= hi)]
+    qs = np.linspace(0.05, 0.95, 19)
+    np.testing.assert_allclose(
+        np.quantile(draws, qs), np.quantile(ref, qs), atol=0.01
+    )
+
+
+@pytest.mark.unit
+def test_beta_mean_alpha1(key):
+    m = 0.045086
+    draws = dist.beta_mean_alpha1(key, jnp.full((200_000,), m))
+    assert float(draws.mean()) == pytest.approx(m, rel=0.05)

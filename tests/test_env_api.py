@@ -1,0 +1,185 @@
+"""Environment API contract tests.
+
+Covers the reference's test surface (adcraft/tests/test_env.py:9-69 and
+test_gymnasium_kw_utils.py) plus the vector/functional API the reference
+lacks.
+"""
+
+import gymnasium as gym
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from gymnasium.spaces import Dict as DictSpace
+
+from adcraft_tpu import (
+    BiddingSimulation,
+    EnvConfig,
+    KeywordKind,
+    VectorBiddingEnv,
+    bidding_sim_creator,
+)
+from adcraft_tpu.quantiles import simple_experiment_table
+from adcraft_tpu.spaces import get_action_space, get_observation_space
+from adcraft_tpu.wrappers import FlatArrayWrapper
+
+
+def small_env(**kw):
+    return BiddingSimulation(num_keywords=4, max_volume=64, **kw)
+
+
+def quantile_env(**kw):
+    table = simple_experiment_table(32, 0.5)
+    return BiddingSimulation(
+        keyword_config={"load_quant_func": lambda _cfg: table, "quantiles_folder": "x"},
+        num_keywords=4,
+        **kw,
+    )
+
+
+@pytest.mark.unit
+def test_is_gym_env():
+    env = small_env()
+    assert isinstance(env, gym.Env)
+    assert isinstance(env.observation_space, DictSpace)
+    assert isinstance(env.action_space, DictSpace)
+
+
+@pytest.mark.unit
+def test_get_action_space_is_dict():
+    assert isinstance(get_action_space(5), DictSpace)
+    assert isinstance(get_observation_space(5, 1000.0), DictSpace)
+
+
+@pytest.mark.unit
+@pytest.mark.parametrize("seed", [None, 1])
+def test_reset_runs(seed):
+    env = small_env()
+    obs, info = env.reset(seed=seed)
+    assert "keyword_params" in info
+
+
+@pytest.mark.unit
+def test_reset_obs_in_space():
+    env = small_env()
+    obs, _ = env.reset(seed=1)
+    assert env.observation_space.contains(obs)
+
+
+@pytest.mark.unit
+@pytest.mark.parametrize("make", [small_env, quantile_env])
+def test_step_obs_in_space(make):
+    env = make()
+    env.reset(seed=1)
+    obs, reward, term, trunc, info = env.step(env.action_space.sample())
+    assert env.observation_space.contains(obs)
+    assert isinstance(reward, float)
+    assert isinstance(term, bool) and isinstance(trunc, bool)
+    for k in ("bids", "bidding_outcomes", "keyword_params"):
+        assert k in info
+
+
+@pytest.mark.unit
+def test_step_requires_reset():
+    env = small_env()
+    with pytest.raises(AssertionError):
+        env.step(env.action_space.sample())
+
+
+@pytest.mark.unit
+def test_episode_terminates_at_max_days():
+    env = quantile_env(max_days=3)
+    env.reset(seed=0)
+    action = {
+        "keyword_bids": np.full(4, 0.5, np.float32),
+        "budget": np.asarray([100.0], np.float32),
+    }
+    for day in range(1, 4):
+        obs, r, term, trunc, _ = env.step(action)
+        assert obs["days_passed"][0] == day
+        assert term == (day == 3)
+
+
+@pytest.mark.unit
+def test_seeded_reset_is_reproducible():
+    env1 = quantile_env()
+    env2 = quantile_env()
+    env1.reset(seed=42)
+    env2.reset(seed=42)
+    assert env1.keyword_params == env2.keyword_params
+    action = {
+        "keyword_bids": np.full(4, 1.0, np.float32),
+        "budget": np.asarray([500.0], np.float32),
+    }
+    o1 = env1.step(action)
+    o2 = env2.step(action)
+    for k in o1[0]:
+        np.testing.assert_array_equal(o1[0][k], o2[0][k], err_msg=k)
+    assert o1[1] == o2[1]
+
+
+@pytest.mark.unit
+def test_options_override():
+    env = small_env()
+    env.reset(seed=0, options={"max_days": 5, "loss_threshold": 123.0})
+    assert env.max_days == 5
+    assert env.loss_threshold == 123.0
+
+
+@pytest.mark.unit
+def test_render_ansi():
+    env = small_env(render_mode="ansi")
+    env.reset(seed=0)
+    assert "New start" in env.render()
+    env.step(env.action_space.sample())
+    assert "Time step" in env.render()
+
+
+@pytest.mark.unit
+def test_bidding_sim_creator():
+    env = bidding_sim_creator({"num_keywords": 3, "max_volume": 32})
+    assert env.num_keywords == 3
+
+
+@pytest.mark.unit
+def test_flat_wrapper_round_trip():
+    env = FlatArrayWrapper(small_env())
+    obs, info = env.reset(seed=0)
+    assert obs.ndim == 1
+    # 5 per-kw fields * K + cumulative_profit + days_passed
+    assert obs.shape == (5 * 4 + 2,)
+    flat_action = env.action_space.sample()
+    obs, reward, term, trunc, info = env.step(flat_action)
+    assert obs.shape == (5 * 4 + 2,)
+
+
+@pytest.mark.unit
+def test_vector_env_steps_batch(key):
+    cfg = EnvConfig(
+        num_keywords=3, kind=KeywordKind.IMPLICIT, max_volume=64, max_days=4
+    )
+    table = simple_experiment_table(16, 0.5)
+    venv = VectorBiddingEnv(cfg, num_envs=8, table=table)
+    state, obs = venv.reset(key)
+    assert obs["impressions"].shape == (8, 3)
+    bids = jnp.full((8, 3), 1.0)
+    state, ts = venv.step(state, bids)
+    assert ts.obs["impressions"].shape == (8, 3)
+    assert ts.reward.shape == (8,)
+    assert np.all(np.asarray(ts.obs["days_passed"]) == 1)
+    # budget override path
+    state, ts = venv.step(state, bids, jnp.full((8,), 50.0))
+    assert np.all(np.asarray(ts.outcomes.cost.sum(axis=1)) <= 50.0 + 1e-4)
+
+
+@pytest.mark.unit
+def test_vector_env_independent_envs(key):
+    """Different envs must see different randomness."""
+    cfg = EnvConfig(num_keywords=2, kind=KeywordKind.IMPLICIT, max_volume=64)
+    table = simple_experiment_table(32, 0.8)
+    venv = VectorBiddingEnv(cfg, num_envs=16, table=table)
+    state, _ = venv.reset(key)
+    vols = np.asarray(state.kw.vol_std)
+    assert len(np.unique(vols)) > 1
+    state, ts = venv.step(state, jnp.full((16, 2), 1.0))
+    assert len(np.unique(np.asarray(ts.reward))) > 1

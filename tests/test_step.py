@@ -1,0 +1,201 @@
+"""Fused-kernel vs numpy-oracle logic parity, and day-step invariants.
+
+The injected-draw tests pin every piece of deterministic control flow
+(budget gating, break-at-overspend, break-both-loops, conversion/revenue
+accounting, impression-share bookkeeping) bit-for-bit against a loop-level
+numpy implementation of the reference semantics (SURVEY.md §7 step 4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adcraft_tpu.config import CompetitorModel, EnvConfig, KeywordKind
+from adcraft_tpu.keywords import make_keyword_state
+from adcraft_tpu.oracle import simulate_day_numpy
+from adcraft_tpu.step import sample_day_draws, simulate_day, split_volume
+
+IMPLICIT_CFG = EnvConfig(
+    num_keywords=7,
+    kind=KeywordKind.IMPLICIT,
+    competitor_model=CompetitorModel.SINGLE_ABS_CENTS,
+    max_volume=96,
+    timesteps_per_day=24,
+)
+
+EXPLICIT_CFG = EnvConfig(
+    num_keywords=5,
+    kind=KeywordKind.EXPLICIT,
+    max_volume=64,
+    timesteps_per_day=24,
+)
+
+POOL_CFG = EnvConfig(
+    num_keywords=4,
+    kind=KeywordKind.IMPLICIT,
+    competitor_model=CompetitorModel.BINOMIAL_POOL,
+    max_volume=48,
+    timesteps_per_day=12,
+)
+
+
+def implicit_kw(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return make_keyword_state(
+        n,
+        vol_mean=rng.integers(10, 90, n).astype(float),
+        vol_std=rng.uniform(1, 10, n),
+        bctr=rng.uniform(0.2, 0.8, n),
+        sctr=rng.uniform(0.2, 0.8, n),
+        rev_mean=rng.uniform(0.5, 1.5, n),
+        rev_std=rng.uniform(0.05, 0.3, n),
+        bid_loc=rng.uniform(0.3, 1.0, n),
+        bid_scale=rng.uniform(0.05, 0.3, n),
+        max_bidders=1,
+        participation_rate=1.0,
+    )
+
+
+def explicit_kw(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return make_keyword_state(
+        n,
+        vol_mean=rng.integers(0, 40, n).astype(float),
+        vol_std=rng.uniform(1, 8, n),
+        bctr=rng.uniform(0.2, 0.8, n),
+        sctr=rng.uniform(0.2, 0.8, n),
+        rev_mean=rng.uniform(0.5, 1.5, n),
+        rev_std=rng.uniform(0.05, 0.3, n),
+        imp_thresh=0.05,
+        imp_intercept=rng.uniform(0.1, 1.0, n),
+        imp_slope=rng.uniform(2.0, 20.0, n),
+    )
+
+
+def pool_kw(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return make_keyword_state(
+        n,
+        vol_mean=rng.integers(5, 40, n).astype(float),
+        vol_std=rng.uniform(1, 5, n),
+        bctr=rng.uniform(0.3, 0.8, n),
+        sctr=rng.uniform(0.3, 0.8, n),
+        rev_mean=rng.uniform(0.5, 1.5, n),
+        rev_std=rng.uniform(0.05, 0.3, n),
+        bid_loc=0.0,
+        bid_scale=0.1,
+        max_bidders=30,
+        participation_rate=0.6,
+    )
+
+
+def _assert_day_matches_oracle(cfg, kw, bids, budget, seed):
+    """Bit-level parity vs the loop oracle, in x64 (PLAN.md parity contract:
+    f32 only disagrees with the f64 oracle at exact budget-boundary ties)."""
+    with jax.enable_x64(True):
+        cfg = cfg.replace(use_x64=True)
+        key = jax.random.PRNGKey(seed)
+        bids_r = (
+            jnp.round(jnp.maximum(jnp.asarray(bids, jnp.float64), 0.01) * 100) / 100
+        )
+        day = jax.jit(
+            lambda k: simulate_day(
+                cfg, k, kw, bids_r, jnp.asarray(budget, jnp.float64)
+            )
+        )(key)
+        draws = sample_day_draws(cfg, key, kw, bids_r)
+        day = jax.tree.map(np.asarray, day)
+    ref = simulate_day_numpy(
+        np.asarray(bids_r),
+        budget,
+        draws,
+        timesteps=cfg.timesteps_per_day,
+        cents=cfg.cents_costs,
+    )
+    np.testing.assert_array_equal(np.asarray(day.impressions), ref["impressions"])
+    np.testing.assert_array_equal(
+        np.asarray(day.buyside_clicks), ref["buyside_clicks"]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(day.sellside_conversions), ref["sellside_conversions"]
+    )
+    np.testing.assert_array_equal(np.asarray(day.volume), ref["volume"])
+    np.testing.assert_array_equal(
+        np.asarray(day.eligible_volume), ref["eligible_volume"]
+    )
+    np.testing.assert_allclose(np.asarray(day.cost), ref["cost"], rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(day.revenue), ref["revenue"], rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(day.profit), ref["profit"], rtol=1e-5, atol=2e-4
+    )
+    return day, ref
+
+
+@pytest.mark.unit
+@pytest.mark.parametrize("seed", range(5))
+def test_implicit_day_matches_oracle_unconstrained(seed):
+    kw = implicit_kw(IMPLICIT_CFG.num_keywords, seed)
+    bids = np.random.default_rng(seed).uniform(0.1, 2.0, IMPLICIT_CFG.num_keywords)
+    _assert_day_matches_oracle(IMPLICIT_CFG, kw, bids, 1e6, seed)
+
+
+@pytest.mark.unit
+@pytest.mark.parametrize("seed", range(5))
+@pytest.mark.parametrize("budget", [40.0, 12.0, 3.0, 0.5])
+def test_implicit_day_matches_oracle_budget_bound(seed, budget):
+    # small budgets force gating, mid-keyword breaks, and full-day breaks
+    kw = implicit_kw(IMPLICIT_CFG.num_keywords, seed + 100)
+    bids = np.random.default_rng(seed).uniform(0.5, 2.5, IMPLICIT_CFG.num_keywords)
+    day, ref = _assert_day_matches_oracle(IMPLICIT_CFG, kw, bids, budget, seed)
+    assert float(np.sum(ref["cost"])) <= budget + 1e-5
+
+
+@pytest.mark.unit
+@pytest.mark.parametrize("seed", range(5))
+@pytest.mark.parametrize("budget", [1e6, 25.0, 2.0])
+def test_explicit_day_matches_oracle(seed, budget):
+    kw = explicit_kw(EXPLICIT_CFG.num_keywords, seed)
+    bids = np.random.default_rng(seed).uniform(0.1, 2.0, EXPLICIT_CFG.num_keywords)
+    _assert_day_matches_oracle(EXPLICIT_CFG, kw, bids, budget, seed)
+
+
+@pytest.mark.unit
+@pytest.mark.parametrize("seed", range(3))
+def test_pool_day_matches_oracle(seed):
+    kw = pool_kw(POOL_CFG.num_keywords, seed)
+    bids = np.random.default_rng(seed).uniform(0.1, 1.0, POOL_CFG.num_keywords)
+    _assert_day_matches_oracle(POOL_CFG, kw, bids, 50.0, seed)
+
+
+@pytest.mark.unit
+def test_split_volume_matches_reference_splitter():
+    cfg = EnvConfig(num_keywords=4, max_volume=1024)
+    vols = jnp.asarray([0, 1, 23, 24, 25, 100, 1023], jnp.int32)
+    cfg = cfg.replace(num_keywords=len(vols))
+    out = np.asarray(split_volume(cfg, vols))
+    # reference: first gets vol - 23*(vol//24), rest get vol//24
+    for i, v in enumerate(np.asarray(vols)):
+        per = v // 24
+        assert out[0, i] == v - 23 * per
+        assert np.all(out[1:, i] == per)
+        assert out[:, i].sum() == v
+
+
+@pytest.mark.unit
+def test_day_invariants(key):
+    kw = implicit_kw(IMPLICIT_CFG.num_keywords, 0)
+    bids = jnp.full((IMPLICIT_CFG.num_keywords,), 1.0)
+    day = simulate_day(IMPLICIT_CFG, key, kw, bids, jnp.asarray(1000.0))
+    imp = np.asarray(day.impressions)
+    clicks = np.asarray(day.buyside_clicks)
+    convs = np.asarray(day.sellside_conversions)
+    assert np.all(clicks <= imp)
+    assert np.all(convs <= clicks)
+    assert np.all(np.asarray(day.cost) >= 0)
+    assert np.all(np.asarray(day.revenue) >= 0)
+    assert np.all(imp <= np.asarray(day.volume))
+    share = np.asarray(day.impression_share)
+    assert np.all((share >= 0) & (share <= 1.0 + 1e-6))
