@@ -120,6 +120,12 @@ class EnvConfig:
     # jax_enable_x64. Default float32 for TPU speed.
     use_x64: bool = False
 
+    # budget-threading implementation: "jacobi" (parallel fixed point,
+    # default — one O(K*M) sweep per iteration, typically 2-4 iterations)
+    # or "scan" (sequential over keywords; reference shape, used for
+    # cross-validation). Bit-identical results (tests/test_step.py).
+    gate_mode: str = "jacobi"
+
     def __post_init__(self) -> None:
         if self.num_keywords < 1:
             raise ValueError("num_keywords must be >= 1")

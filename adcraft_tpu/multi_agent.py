@@ -1,0 +1,81 @@
+"""Multi-agent composition and round-robin training.
+
+Reference: adcraft/multi_agent/env.py (RLlib ``make_multi_agent`` over
+FlatArrayWrapper copies) and adcraft/multi_agent/train.py (per-policy
+round-robin ``.train()``). The reference's "multi-agent" environment is N
+*independent* env copies keyed by agent id — there is no interaction
+between agents — so the TPU-native version is a dict-keyed façade over
+independent envs (host-side, RLlib-compatible semantics) plus a
+round-robin trainer over independent PPO learners.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from adcraft_tpu.gym_env import BiddingSimulation
+from adcraft_tpu.wrappers import FlatArrayWrapper
+
+
+class MultiFlatEnv:
+    """N independent flattened BiddingSimulations keyed by agent id.
+
+    Mirrors the observable behaviour of ``make_multi_flat(n)``
+    (multi_agent/env.py:8-35): dict obs/rewards/dones keyed 0..n-1, plus
+    the "__all__" done flag RLlib expects.
+    """
+
+    def __init__(self, num_agents: int, env_config: Optional[Dict] = None):
+        env_config = env_config or {}
+        self.num_agents = num_agents
+        self.envs = [
+            FlatArrayWrapper(BiddingSimulation(**env_config))
+            for _ in range(num_agents)
+        ]
+        self.observation_space = self.envs[0].observation_space
+        self.action_space = self.envs[0].action_space
+
+    def reset(self, *, seed: Optional[int] = None, options=None):
+        obs, infos = {}, {}
+        for i, env in enumerate(self.envs):
+            s = None if seed is None else seed + i
+            obs[i], infos[i] = env.reset(seed=s, options=options)
+        return obs, infos
+
+    def step(self, action_dict: Dict[int, np.ndarray]):
+        obs, rewards, terms, truncs, infos = {}, {}, {}, {}, {}
+        for i, action in action_dict.items():
+            obs[i], rewards[i], terms[i], truncs[i], infos[i] = self.envs[i].step(
+                action
+            )
+        terms["__all__"] = all(terms.get(i, False) for i in action_dict)
+        truncs["__all__"] = all(truncs.get(i, False) for i in action_dict)
+        return obs, rewards, terms, truncs, infos
+
+
+def make_multi_flat(num_agents: int, env_config: Optional[Dict] = None) -> MultiFlatEnv:
+    """Reference-named constructor (multi_agent/env.py:8)."""
+    return MultiFlatEnv(num_agents, env_config)
+
+
+def basic_policy_mapping_fn(agent_id, *args, **kwargs) -> str:
+    """agent_id -> policy name (multi_agent/train.py:11-13)."""
+    return str(agent_id)
+
+
+def multi_train(trainers: List, states: List, epochs: int = 1) -> Dict:
+    """Round-robin training over independent learners.
+
+    ``trainers`` are PPOTrainer-likes with ``train(state, 1)``;
+    mirrors multi_agent/train.py:88-92's per-policy round-robin. Returns
+    {policy_name: last_metrics} and mutated states in-place semantics via
+    the returned list.
+    """
+    results = {}
+    for epoch in range(epochs):
+        for i, trainer in enumerate(trainers):
+            states[i], metrics = trainer.train(states[i], 1)
+            results[basic_policy_mapping_fn(i)] = metrics
+    return {"states": states, "policy_metrics": results}

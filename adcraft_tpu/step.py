@@ -124,6 +124,79 @@ def _gate_keywords(
     return lax.scan(body, (budget0, broken0), (prefix, n_clicks), unroll=unroll)
 
 
+def _gate_keywords_jacobi(
+    budget0: Array,
+    broken0: Array,
+    prefix: Array,
+    n_clicks: Array,
+    max_iter: int,
+) -> Tuple[Tuple[Array, Array], Tuple[Array, Array, Array]]:
+    """Budget threading as a parallel fixed-point instead of a scan.
+
+    The sequential recurrence (``_gate_keywords``) is forward substitution
+    on a triangular system:
+
+        b_k      = b0 - sum_{j<k} spend_j
+        sim_k    = !broken0 and all_{1<=j<=k} b_j > 0
+        spend_k  = sim_k ? g_k(b_k) : 0
+
+    where g_k is the per-keyword prefix-acceptance rule. Jacobi iteration
+    on these equations is fully parallel over keywords (one O(K*M) sweep
+    per iteration, TPU-friendly) and after i sweeps the first i cells are
+    exact, so it terminates in <= K sweeps; in practice budget either
+    doesn't bind (1-2 sweeps) or a break cell zeroes the whole tail
+    (3-4 sweeps). The while_loop exits as soon as a sweep is a no-op, at
+    which point every equation holds exactly — bit-identical to the scan
+    (tests/test_step.py cross-checks).
+    """
+    K, m1 = prefix.shape
+    m = m1 - 1
+    lane = jnp.arange(m)
+    zero = jnp.zeros((), prefix.dtype)
+
+    def g(B):
+        """Per-cell acceptance for start-budgets B (K,)."""
+        valid = (prefix[:, 1:] <= B[:, None]) & (lane[None, :] < n_clicks[:, None])
+        ok = jnp.cumprod(valid.astype(jnp.int32), axis=1)
+        p = jnp.sum(ok, axis=1).astype(jnp.int32)
+        spend = jnp.take_along_axis(prefix, p[:, None], axis=1)[:, 0]
+        return p, spend
+
+    def sweep(spend):
+        excl = jnp.concatenate([zero[None], jnp.cumsum(spend)[:-1]])
+        B = budget0 - excl
+        p2, s2 = g(B)
+        # sim_k: no break strictly before cell k (b_1..b_k all > 0)
+        nb = B - s2
+        alive = jnp.cumprod((nb > 0).astype(jnp.int32))
+        sim = ~broken0 & jnp.concatenate(
+            [jnp.ones((1,), bool), alive[:-1].astype(bool)]
+        )
+        return jnp.where(sim, s2, zero), jnp.where(sim, p2, 0), sim
+
+    def cond(carry):
+        spend, p, sim, changed, it = carry
+        return changed & (it < max_iter)
+
+    def body(carry):
+        spend, p, sim, _c, it = carry
+        s2, p2, sim2 = sweep(spend)
+        changed = jnp.any(s2 != spend) | jnp.any(p2 != p)
+        return s2, p2, sim2, changed, it + 1
+
+    p0, s0 = g(jnp.full((K,), budget0, prefix.dtype))
+    sim0 = jnp.full((K,), ~broken0)
+    s0 = jnp.where(sim0, s0, zero)
+    p0 = jnp.where(sim0, p0, 0)
+    spend, p, sim, _, _ = lax.while_loop(
+        cond, body, (s0, p0, sim0, jnp.asarray(True), jnp.asarray(0, jnp.int32))
+    )
+    b_path = budget0 - jnp.cumsum(spend)
+    b_out = b_path[-1]
+    broken_out = broken0 | jnp.any(b_path <= 0)
+    return (b_out, broken_out), (p, spend, sim)
+
+
 def simulate_day(
     cfg: EnvConfig,
     key: Array,
@@ -171,9 +244,14 @@ def simulate_day(
             costs = cell.cost_draws
             pad = jnp.zeros((K, 1), dtype)
         prefix = jnp.concatenate([pad, jnp.cumsum(costs, axis=1)], axis=1)
-        (b, broken), (accepted, spend, simulated) = _gate_keywords(
-            b, broken, prefix, n_clicks
-        )
+        if cfg.gate_mode == "jacobi":
+            (b, broken), (accepted, spend, simulated) = _gate_keywords_jacobi(
+                b, broken, prefix, n_clicks, max_iter=K + 2
+            )
+        else:
+            (b, broken), (accepted, spend, simulated) = _gate_keywords(
+                b, broken, prefix, n_clicks
+            )
 
         # sellside conversion coinflips on accepted clicks
         # (bidding_simulation.py:106-109; coinflips are `u <= p`,

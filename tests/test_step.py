@@ -185,6 +185,30 @@ def test_split_volume_matches_reference_splitter():
 
 
 @pytest.mark.unit
+@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("budget", [1e6, 40.0, 12.0, 3.0, 0.5, 0.0])
+def test_jacobi_gate_matches_scan_gate(seed, budget):
+    """The parallel fixed-point gate must be bit-identical to the
+    sequential scan gate, including break and zero-budget cases."""
+    kw = implicit_kw(IMPLICIT_CFG.num_keywords, seed + 7)
+    bids = jnp.asarray(
+        np.random.default_rng(seed).uniform(0.3, 2.5, IMPLICIT_CFG.num_keywords)
+    )
+    key = jax.random.PRNGKey(seed)
+    outs = {}
+    for mode in ("scan", "jacobi"):
+        cfg = IMPLICIT_CFG.replace(gate_mode=mode)
+        outs[mode] = jax.tree.map(
+            np.asarray,
+            simulate_day(cfg, key, kw, bids, jnp.asarray(budget, jnp.float32)),
+        )
+    for field, a in outs["scan"]._asdict().items():
+        np.testing.assert_array_equal(
+            a, getattr(outs["jacobi"], field), err_msg=field
+        )
+
+
+@pytest.mark.unit
 def test_day_invariants(key):
     kw = implicit_kw(IMPLICIT_CFG.num_keywords, 0)
     bids = jnp.full((IMPLICIT_CFG.num_keywords,), 1.0)
