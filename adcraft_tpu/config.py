@@ -126,6 +126,14 @@ class EnvConfig:
     # cross-validation). Bit-identical results (tests/test_step.py).
     gate_mode: str = "jacobi"
 
+    # PRNG implementation for per-env root keys created by the batch APIs
+    # ("threefry2x32" | "rbg" | "unsafe_rbg"). The step itself is
+    # impl-agnostic (it uses whatever key it is handed); rbg uses the
+    # XLA RngBitGenerator path, which is far cheaper than threefry on TPU
+    # for this RNG-bound workload. Parity/injection tests are unaffected:
+    # the oracle consumes draws extracted with the same keys.
+    prng_impl: str = "rbg"
+
     def __post_init__(self) -> None:
         if self.num_keywords < 1:
             raise ValueError("num_keywords must be >= 1")

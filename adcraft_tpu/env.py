@@ -82,6 +82,18 @@ def zero_observation(cfg: EnvConfig, dtype=jnp.float32) -> Dict[str, Array]:
     }
 
 
+def batch_keys(key: Array, num: int, impl: str = "rbg") -> Array:
+    """Derive ``num`` per-env root keys in the given PRNG implementation.
+
+    The incoming key (any impl) seeds the derivation, so trajectories stay
+    deterministic in (seed, num, impl) and placement-independent.
+    """
+    if impl in (None, "threefry2x32"):
+        return jax.random.split(key, num)
+    seeds = jax.random.randint(key, (num,), 0, jnp.iinfo(jnp.int32).max)
+    return jax.vmap(lambda s: jax.random.key(s, impl=impl))(seeds)
+
+
 def env_reset(
     cfg: EnvConfig,
     key: Array,
@@ -258,8 +270,12 @@ class VectorBiddingEnv:
         )
 
     def reset(self, key: Array):
-        """Returns (state, obs) with a leading (num_envs,) batch axis."""
-        keys = jax.random.split(key, self.num_envs)
+        """Returns (state, obs) with a leading (num_envs,) batch axis.
+
+        Per-env root keys are derived in the configured PRNG impl
+        (cfg.prng_impl; rbg by default for TPU throughput).
+        """
+        keys = batch_keys(key, self.num_envs, self.cfg.prng_impl)
         return self._reset(keys)
 
     def step(self, state: EnvState, bids: Array, budget: Optional[Array] = None):

@@ -1,0 +1,65 @@
+"""Timing experiment: reproduces the reference's timing notebook measurements.
+
+Reference: baseline_experiment_and_figs_notebooks/
+timing_and_other_one_off_experiments.ipynb cells 5-7 — wall time of one
+full 100-keyword x 60-day episode including the NaiveZeroMargin agent and
+per-step oracle ideal-profit computation (BASELINE.md: 25-43 s/episode on
+CPU). Here the same workload runs for a whole batch of envs in one jitted
+rollout; reported per-episode time is batch time / batch size.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adcraft_tpu.config import EnvConfig, KeywordKind
+from adcraft_tpu.experiments.harness import run_episode_batch
+from adcraft_tpu.quantiles import simple_experiment_table
+
+
+def time_episode(
+    mean_volume: float,
+    cvr: float,
+    num_envs: int = 64,
+    num_keywords: int = 100,
+    max_days: int = 60,
+) -> Dict[str, float]:
+    cfg = EnvConfig(
+        num_keywords=num_keywords,
+        max_days=max_days,
+        kind=KeywordKind.IMPLICIT,
+        max_volume=int(max(32, 4 * mean_volume + 64)),
+    )
+    table = simple_experiment_table(mean_volume, cvr)
+    env_seeds = list(range(num_envs // 4))
+    agent_seeds = list(range(4))
+    # warm-up/compile
+    run_episode_batch(cfg, table, env_seeds[:1], agent_seeds[:1], num_days=1)
+    t0 = time.perf_counter()
+    out = run_episode_batch(cfg, table, env_seeds, agent_seeds)
+    dt = time.perf_counter() - t0
+    episodes = out["kw_profits"].shape[0]
+    return {
+        "mean_volume": mean_volume,
+        "cvr": cvr,
+        "episodes": episodes,
+        "total_s": dt,
+        "s_per_episode": dt / episodes,
+        "episodes_per_s": episodes / dt,
+    }
+
+
+def main() -> None:
+    # the three reference timing configs (cells 5-7)
+    for vol, cvr in ((16, 0.1), (128, 0.8)):
+        print(json.dumps(time_episode(vol, cvr)))
+
+
+if __name__ == "__main__":
+    main()

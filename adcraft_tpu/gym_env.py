@@ -320,7 +320,28 @@ def _repr_outcomes(bids, out) -> str:
     The reference's ``rust.repr_outcomes_py`` (src/lib.rs:251-275) includes
     every individual click cost/revenue; the fused kernel keeps only sums,
     so this repr reports the aggregate fields with the same key names.
+    Uses the native C++ formatter when built (adcraft_tpu._native).
     """
+    try:
+        from adcraft_tpu import _native
+
+        share = np.where(
+            out.eligible_volume > 0,
+            out.impressions / np.maximum(out.eligible_volume, 1),
+            0.0,
+        )
+        return _native.repr_outcomes(
+            np.asarray(bids, np.float64),
+            np.asarray(out.impressions, np.int64),
+            np.asarray(share, np.float64),
+            np.asarray(out.buyside_clicks, np.int64),
+            np.asarray(out.cost, np.float64),
+            np.asarray(out.sellside_conversions, np.int64),
+            np.asarray(out.revenue, np.float64),
+            np.asarray(out.profit, np.float64),
+        )
+    except ImportError:
+        pass
     parts = []
     for i, bid in enumerate(bids):
         parts.append(

@@ -173,6 +173,39 @@ def simulate_day_numpy(
     return out
 
 
+def simulate_day_native(
+    bids: np.ndarray,
+    budget: float,
+    draws: Dict[str, np.ndarray],
+    timesteps: int = 24,
+    cents: bool = True,
+) -> Dict[str, np.ndarray]:
+    """C++ implementation of :func:`simulate_day_numpy` (adcraft_tpu._native).
+
+    Same injected-draw semantics, ~100x faster — for parity testing at
+    production scale. Fills the role the reference's Rust extension plays
+    for its host-side hot loops (src/lib.rs).
+    """
+    from adcraft_tpu import _native
+
+    n_auctions = split_volume_numpy(
+        draws["volume"].astype(np.int64), timesteps
+    ).astype(np.int64)
+    out = _native.gate_day(
+        np.ascontiguousarray(draws["costs"], np.float64),
+        np.ascontiguousarray(draws["n_clicks"], np.int64),
+        np.ascontiguousarray(draws["impressions"], np.int64),
+        np.ascontiguousarray(n_auctions),
+        np.ascontiguousarray(draws["conv_flags"], np.uint8),
+        np.ascontiguousarray(np.round(draws["revs"] * 100.0), np.int64),
+        float(budget),
+        int(cents),
+    )
+    out["profit"] = out["revenue"] - out["cost"]
+    out["volume"] = draws["volume"].astype(np.int64)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # literal seeded oracle env (distributional-parity layer)
 # ---------------------------------------------------------------------------

@@ -30,7 +30,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from adcraft_tpu.config import EnvConfig
-from adcraft_tpu.env import EnvState, TimeStep, env_reset, env_step
+from adcraft_tpu.env import EnvState, TimeStep, batch_keys, env_reset, env_step
 from adcraft_tpu.quantiles import QuantileTable
 
 Array = jax.Array
@@ -132,7 +132,7 @@ class sharded_vector_env:
         )
 
     def reset(self, key: Array):
-        keys = jax.random.split(key, self.num_envs)
+        keys = batch_keys(key, self.num_envs, self.cfg.prng_impl)
         keys = jax.device_put(keys, self._sh)
         return self._reset(keys)
 

@@ -90,6 +90,19 @@ def pool_kw(n, seed=0):
     )
 
 
+_JIT_CACHE = {}
+
+
+def _jit_day(cfg):
+    """One compiled simulate_day per cfg, shared across all param cases
+    (budget/keywords/bids passed as arguments to avoid recompiles)."""
+    if cfg not in _JIT_CACHE:
+        _JIT_CACHE[cfg] = jax.jit(
+            lambda k, kw, b, bud: simulate_day(cfg, k, kw, b, bud)
+        )
+    return _JIT_CACHE[cfg]
+
+
 def _assert_day_matches_oracle(cfg, kw, bids, budget, seed):
     """Bit-level parity vs the loop oracle, in x64 (PLAN.md parity contract:
     f32 only disagrees with the f64 oracle at exact budget-boundary ties)."""
@@ -99,11 +112,7 @@ def _assert_day_matches_oracle(cfg, kw, bids, budget, seed):
         bids_r = (
             jnp.round(jnp.maximum(jnp.asarray(bids, jnp.float64), 0.01) * 100) / 100
         )
-        day = jax.jit(
-            lambda k: simulate_day(
-                cfg, k, kw, bids_r, jnp.asarray(budget, jnp.float64)
-            )
-        )(key)
+        day = _jit_day(cfg)(key, kw, bids_r, jnp.asarray(budget, jnp.float64))
         draws = sample_day_draws(cfg, key, kw, bids_r)
         day = jax.tree.map(np.asarray, day)
     ref = simulate_day_numpy(
@@ -200,7 +209,7 @@ def test_jacobi_gate_matches_scan_gate(seed, budget):
         cfg = IMPLICIT_CFG.replace(gate_mode=mode)
         outs[mode] = jax.tree.map(
             np.asarray,
-            simulate_day(cfg, key, kw, bids, jnp.asarray(budget, jnp.float32)),
+            _jit_day(cfg)(key, kw, bids, jnp.asarray(budget, jnp.float32)),
         )
     for field, a in outs["scan"]._asdict().items():
         np.testing.assert_array_equal(
