@@ -194,9 +194,10 @@ def run_cell_auctions(
     n_auctions: Array,
     kw,  # KeywordState with (K,)-shaped fields
     dtype=jnp.float32,
+    max_clicks: int = None,
 ) -> CellAuction:
     """Dispatch on the env's (static) keyword kind/competitor model."""
-    m = cfg.max_clicks_per_cell
+    m = cfg.max_clicks_per_cell if max_clicks is None else max_clicks
     if cfg.kind is KeywordKind.EXPLICIT:
         return explicit_auction(
             key,

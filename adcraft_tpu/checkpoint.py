@@ -36,9 +36,7 @@ def restore_checkpoint(path: str, target: Any) -> Any:
 
     path = os.path.abspath(os.path.expanduser(path))
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(
-        path, ocp.args.StandardRestore(jax.tree.map(np.asarray, target))
-    )
+    restored = ckptr.restore(path, jax.tree.map(np.asarray, target))
     return jax.tree.map(
         lambda t, r: jax.numpy.asarray(r, getattr(t, "dtype", None)),
         target,

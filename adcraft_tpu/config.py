@@ -128,11 +128,11 @@ class EnvConfig:
 
     # PRNG implementation for per-env root keys created by the batch APIs
     # ("threefry2x32" | "rbg" | "unsafe_rbg"). The step itself is
-    # impl-agnostic (it uses whatever key it is handed); rbg uses the
-    # XLA RngBitGenerator path, which is far cheaper than threefry on TPU
-    # for this RNG-bound workload. Parity/injection tests are unaffected:
-    # the oracle consumes draws extracted with the same keys.
-    prng_impl: str = "rbg"
+    # impl-agnostic (it uses whatever key it is handed). rbg uses the XLA
+    # RngBitGenerator path (cheaper bit generation on TPU) but crashed the
+    # axon v5e worker in testing; threefry is the safe default until rbg
+    # is validated on the target backend.
+    prng_impl: str = "threefry2x32"
 
     def __post_init__(self) -> None:
         if self.num_keywords < 1:
@@ -161,6 +161,17 @@ class EnvConfig:
     def max_clicks_per_cell(self) -> int:
         """Click/cost buffer length per (sub-timestep, keyword) cell."""
         return self.max_auctions_per_cell
+
+    @property
+    def max_clicks_rest(self) -> int:
+        """Buffer length for sub-timesteps after the first.
+
+        Sub-timesteps t >= 1 each run exactly ``vol // T`` auctions
+        (bidding_simulation.py:151-167), bounded by ``max_volume // T`` —
+        typically half the first cell's bound, so the 23-step scan runs
+        with a much smaller lane buffer than sub-timestep 0.
+        """
+        return max(1, min(self.max_volume, self.max_volume // self.timesteps_per_day))
 
     @property
     def cents_costs(self) -> bool:

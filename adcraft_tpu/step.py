@@ -214,7 +214,6 @@ def simulate_day(
     if dtype is None:
         dtype = cfg.money_dtype
     K = kw.num_keywords
-    M = cfg.max_clicks_per_cell
     T = cfg.timesteps_per_day
     cents = cfg.cents_costs
 
@@ -223,13 +222,15 @@ def simulate_day(
     volume = jnp.minimum(volume, cfg.max_volume)
     n_auctions = split_volume(cfg, volume)  # (T, K)
 
-    def timestep_body(carry, xs):
+    def cell_step(carry, t, n_auc_t, m):
+        """One sub-timestep with click-buffer width m."""
         b, broken = carry
-        t, n_auc_t = xs
         kt = jax.random.fold_in(k_cells, t)
         k_auc, k_click, k_conv, k_rev = jax.random.split(kt, 4)
 
-        cell = run_cell_auctions(cfg, k_auc, bids, n_auc_t, kw, dtype=dtype)
+        cell = run_cell_auctions(
+            cfg, k_auc, bids, n_auc_t, kw, dtype=dtype, max_clicks=m
+        )
         # buyside click coinflips per candidate (synthetic_kw_classes.py:207-219)
         n_clicks = dist.binomial(k_click, cell.n_candidates, kw.bctr)
         # prefix-sum the clicked-cost draws for budget gating. Cents models
@@ -259,7 +260,7 @@ def simulate_day(
         # the first `accepted` consumed, so the draw table is independent
         # of budget gating (the oracle injects these, tests/test_step.py).
         conv_flags = (
-            jax.random.uniform(k_conv, (K, M)) <= kw.sctr[:, None]
+            jax.random.uniform(k_conv, (K, m)) <= kw.sctr[:, None]
         ).astype(jnp.int32)
         conv_prefix = jnp.concatenate(
             [jnp.zeros((K, 1), jnp.int32), jnp.cumsum(conv_flags, axis=1)], axis=1
@@ -268,7 +269,7 @@ def simulate_day(
         # revenue draws are always cent-quantized (rev_normal_cents); sum
         # them as exact integer cents so accumulation order cannot matter
         rev_draws = dist.rev_normal_cents(
-            k_rev, kw.rev_mean[:, None], kw.rev_std[:, None], (K, M), dtype=dtype
+            k_rev, kw.rev_mean[:, None], kw.rev_std[:, None], (K, m), dtype=dtype
         )
         rev_dtype = jnp.int64 if cfg.use_x64 else jnp.int32
         rev_cents = jnp.round(rev_draws * 100.0).astype(rev_dtype)
@@ -294,9 +295,29 @@ def simulate_day(
         init_b = jnp.minimum(jnp.round(jnp.asarray(budget) * 100.0), cmax).astype(cdt)
     else:
         init_b = jnp.asarray(budget, dtype)
-    init = (init_b, jnp.asarray(False))
-    xs = (jnp.arange(T), n_auctions)
-    _, (imp, clicks, cost, conv, rev_c, elig) = lax.scan(timestep_body, init, xs)
+
+    # Two-tier lane buffers: sub-timestep 0 carries the volume remainder
+    # (bound max_clicks_per_cell); the T-1 scanned steps each run exactly
+    # vol//T auctions (bound max_clicks_rest, roughly half) — nearly
+    # halving the per-day sampling work.
+    carry = (init_b, jnp.asarray(False))
+    carry, out0 = cell_step(
+        carry, jnp.asarray(0), n_auctions[0], cfg.max_clicks_per_cell
+    )
+    if T > 1:
+        def scan_body(c, xs):
+            t, n_auc_t = xs
+            return cell_step(c, t, n_auc_t, cfg.max_clicks_rest)
+
+        xs = (jnp.arange(1, T), n_auctions[1:])
+        _, out_rest = lax.scan(scan_body, carry, xs)
+        outs = tuple(
+            jnp.concatenate([o0[None], orest], axis=0)
+            for o0, orest in zip(out0, out_rest)
+        )
+    else:
+        outs = tuple(o0[None] for o0 in out0)
+    imp, clicks, cost, conv, rev_c, elig = outs
 
     impressions = jnp.sum(imp, axis=0).astype(jnp.int32)
     buyside_clicks = jnp.sum(clicks, axis=0).astype(jnp.int32)
@@ -344,19 +365,34 @@ def sample_day_draws(
 
     imps, clicks, costs, flags, revs = [], [], [], [], []
     for t in range(T):
+        # mirror the two-tier lane structure of simulate_day: t=0 uses the
+        # full buffer, t>=1 the smaller rest buffer (padded with zeros
+        # here so the oracle table stays rectangular — lanes beyond the
+        # per-t buffer are never reachable since n_clicks <= buffer)
+        m = M if t == 0 else cfg.max_clicks_rest
         kt = jax.random.fold_in(k_cells, t)
         k_auc, k_click, k_conv, k_rev = jax.random.split(kt, 4)
-        cell = run_cell_auctions(cfg, k_auc, bids, n_auctions[t], kw, dtype=dtype)
-        n_clicks = dist.binomial(k_click, cell.n_candidates, kw.bctr)
-        conv_flags = jax.random.uniform(k_conv, (K, M)) <= kw.sctr[:, None]
-        rev_draws = dist.rev_normal_cents(
-            k_rev, kw.rev_mean[:, None], kw.rev_std[:, None], (K, M), dtype=dtype
+        cell = run_cell_auctions(
+            cfg, k_auc, bids, n_auctions[t], kw, dtype=dtype, max_clicks=m
         )
+        n_clicks = dist.binomial(k_click, cell.n_candidates, kw.bctr)
+        conv_flags = jax.random.uniform(k_conv, (K, m)) <= kw.sctr[:, None]
+        rev_draws = dist.rev_normal_cents(
+            k_rev, kw.rev_mean[:, None], kw.rev_std[:, None], (K, m), dtype=dtype
+        )
+
+        def pad(x, fill=0):
+            if m == M:
+                return x
+            return jnp.concatenate(
+                [x, jnp.full((K, M - m), fill, x.dtype)], axis=1
+            )
+
         imps.append(cell.impressions)
         clicks.append(n_clicks)
-        costs.append(cell.cost_draws)
-        flags.append(conv_flags)
-        revs.append(rev_draws)
+        costs.append(pad(cell.cost_draws))
+        flags.append(pad(conv_flags))
+        revs.append(pad(rev_draws))
     return {
         "volume": np.asarray(volume),
         "impressions": np.stack([np.asarray(x) for x in imps]),

@@ -19,6 +19,13 @@ import os
 import sys
 import time
 
+# persistent compilation cache: the tunneled axon backend compiles this
+# program remotely (minutes); cache hits make reruns start in seconds.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+
 import jax
 import jax.numpy as jnp
 
