@@ -87,6 +87,67 @@ def print_agg_metric(metric, name: str = "profit") -> None:
     print(f"std dev {name} per time step {np.std(metric)}")
 
 
+def plot_explicit_kw_properties(kw, key=None, show: bool = True):
+    """Average cost/revenue/profit per bid for explicit keywords, plus the
+    profit-maximizing static-oracle bids.
+
+    Port of ``plot_explicit_kw_properties`` (gymnasium_kw_utils.py:394-480)
+    on a ``KeywordState``: closed-form averages instead of sampling loops
+    (cost mean is sqrt(bid)/4 + 2.2 under the rust-quirk model).
+
+    Returns (optimal_bids, optimal_ave_profits) lists like the reference.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from adcraft_tpu import distributions as dist
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    bid_cents = np.linspace(0.01, 2, 200)
+    bids = jnp.asarray(bid_cents)
+    rate = np.asarray(
+        dist.threshold_sigmoid(
+            bids[None, :],
+            jnp.asarray(kw.imp_thresh)[:, None],
+            jnp.asarray(kw.imp_intercept)[:, None],
+            jnp.asarray(kw.imp_slope)[:, None],
+        )
+    )
+    mean_cost_per_click = np.sqrt(bid_cents) / 4 + 2.2  # rust cost_create mean
+    vol = np.asarray(kw.vol_mean)[:, None]
+    bctr = np.asarray(kw.bctr)[:, None]
+    sctr = np.asarray(kw.sctr)[:, None]
+    rev = np.asarray(kw.rev_mean)[:, None]
+    ave_cost = vol * rate * bctr * mean_cost_per_click[None, :]
+    ave_rev = vol * rate * bctr * sctr * rev
+    ave_profit = ave_rev - ave_cost
+
+    optimal_bids, optimal_ave_profits = [], []
+    for k in range(ave_profit.shape[0]):
+        i = int(np.argmax(ave_profit[k]))
+        if ave_profit[k, i] >= 0:
+            optimal_bids.append(float(bid_cents[i]))
+            optimal_ave_profits.append(float(ave_profit[k, i]))
+        else:
+            optimal_bids.append(0.0)
+            optimal_ave_profits.append(0.0)
+
+    if show:
+        import matplotlib.pyplot as plt
+
+        for k in range(ave_profit.shape[0]):
+            plt.figure()
+            plt.plot(bid_cents, ave_cost[k], "r", label="avg cost")
+            plt.plot(bid_cents, ave_rev[k], "g", label="avg revenue")
+            plt.plot(bid_cents, ave_profit[k], "o", label="avg profit")
+            plt.plot(bid_cents, rate[k], "b", label="impression share")
+            plt.title("average metrics against bid price")
+            plt.legend()
+            plt.show()
+    return optimal_bids, optimal_ave_profits
+
+
 def show_cumulative_rewards(rewards) -> None:
     """Cumulative reward curve + stats (jupyter_functions.py:124-136)."""
     import matplotlib.pyplot as plt
