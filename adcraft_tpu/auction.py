@@ -50,7 +50,8 @@ class CellAuction(NamedTuple):
 
     impressions: Array  # (...), int32 — auctions won
     n_candidates: Array  # (...), int32 — click-coinflip count (see quirk below)
-    cost_draws: Array  # (..., M), money — i.i.d. cost-per-click draws
+    cost_draws: Array  # (M, ...), money — i.i.d. cost-per-click draws,
+    # lane-major so the keyword axis stays on the TPU's 128-lane dimension
 
 
 def _single_abs_cents_win_threshold(bid: Array) -> Array:
@@ -90,13 +91,13 @@ def implicit_single_auction(
 
     # cost | win: L ~ Laplace(loc, scale) truncated to (-y0, y0), cost
     # = round(|L|, 2). Exact inverse-CDF; i.i.d. across won auctions.
-    shape = bid.shape + (max_clicks,)
+    shape = (max_clicks,) + bid.shape
     trunc = dist.truncated_laplace(
         k_cost,
-        bid_loc[..., None],
-        bid_scale[..., None],
-        -y0[..., None],
-        y0[..., None],
+        bid_loc[None, ...],
+        bid_scale[None, ...],
+        -y0[None, ...],
+        y0[None, ...],
         shape,
     )
     costs = dist.round_cents(jnp.abs(trunc)).astype(dtype)
@@ -133,15 +134,15 @@ def implicit_pool_auction(
 
     # cost | win: M = max of k Laplace draws given M < bid has CDF
     # (F(y)/F(bid))^k, so M = F^{-1}(F(bid) * u^{1/k}).
-    shape = bid.shape + (max_clicks,)
+    shape = (max_clicks,) + bid.shape
     u = jax.random.uniform(key=k_cost, shape=shape)
-    ksafe = jnp.maximum(k, 1.0)[..., None]
+    ksafe = jnp.maximum(k, 1.0)[None, ...]
     m = dist.laplace_icdf(
-        jnp.clip(f_bid[..., None] * u ** (1.0 / ksafe), 1e-38, 1.0 - 1e-12),
-        bid_loc[..., None],
-        bid_scale[..., None],
+        jnp.clip(f_bid[None, ...] * u ** (1.0 / ksafe), 1e-38, 1.0 - 1e-12),
+        bid_loc[None, ...],
+        bid_scale[None, ...],
     )
-    kcol = k[..., None]
+    kcol = k[None, ...]
     costs = jnp.where(kcol == 0, 0.0, jnp.where(kcol < 3, jnp.maximum(m, 0.0), m))
     return CellAuction(impressions, impressions, costs.astype(dtype))
 
@@ -175,15 +176,15 @@ def explicit_auction(
     rate = dist.threshold_sigmoid(bid, imp_thresh, imp_intercept, imp_slope)
     impressions = dist.binomial(k_imp, n_auctions, rate)
 
-    shape = bid.shape + (max_clicks,)
+    shape = (max_clicks,) + bid.shape
     if cost_model is CostModel.RUST_QUIRK:
-        costs = dist.cost_create(k_cost, bid[..., None], shape, dtype=dtype)
+        costs = dist.cost_create(k_cost, bid[None, ...], shape, dtype=dtype)
     else:
-        costs = dist.generic_cost(k_cost, bid[..., None], shape, dtype=dtype)
+        costs = dist.generic_cost(k_cost, bid[None, ...], shape, dtype=dtype)
     # phantom-click path: single zero-cost candidate when no impressions
     phantom = impressions == 0
     n_candidates = jnp.maximum(impressions, 1)
-    costs = jnp.where(phantom[..., None], 0.0, costs)
+    costs = jnp.where(phantom[None, ...], 0.0, costs)
     return CellAuction(impressions, n_candidates, costs)
 
 

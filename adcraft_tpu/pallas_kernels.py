@@ -63,7 +63,7 @@ def _day_kernel(
     # inputs
     params_ref,  # (8, K) f32 (SMEM): bid_cents, bid_loc, bid_scale, bctr,
     #                                  sctr, rev_mean, rev_std, (pad)
-    n_auc_ref,  # (E_BLK, 1, K) i32 (VMEM)
+    n_auc_ref,  # (1, E_BLK, K) i32 (VMEM) — this sub-timestep's counts
     budget_ref,  # (E_BLK, 1) i32 cents (VMEM)
     # outputs (blocked per env-block; VMEM-resident across all (t, k))
     imp_ref,  # (E_BLK, K) i32
@@ -83,8 +83,10 @@ def _day_kernel(
     t = pl.program_id(1)
     k = pl.program_id(2)
 
-    # deterministic stream per (block, cell)
-    pltpu.prng_seed(seed_ref[0], e, t, k)
+    # deterministic stream per (block, cell) — Mosaic allows at most two
+    # seed words, so the cell coordinate packs into one
+    cell = (e * pl.num_programs(1) + t) * pl.num_programs(2) + k
+    pltpu.prng_seed(seed_ref[0], cell)
 
     @pl.when((t == 0) & (k == 0))
     def _():
@@ -99,7 +101,15 @@ def _day_kernel(
 
     e_blk = b_ref.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (e_blk, m), 1)
-    n_auc = n_auc_ref[:, 0, k][:, None]  # (E_BLK, 1)
+    # select keyword k's auction counts via a one-hot matvec (dynamic lane
+    # indexing is not lowerable; this is an MXU op, exact for ints < 2^24)
+    kcol_k = jax.lax.broadcasted_iota(jnp.int32, (num_k, 1), 0)
+    onehot_col = (kcol_k == k).astype(jnp.float32)  # (K, 1)
+    n_auc = jnp.dot(
+        n_auc_ref[0, :, :].astype(jnp.float32),
+        onehot_col,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)  # (E_BLK, 1)
     active = lane < n_auc
 
     bid_c = params_ref[0, k].astype(jnp.int32)
@@ -127,7 +137,14 @@ def _day_kernel(
     # sum overshoots kills every later lane.
     b = b_ref[:, :]  # (E_BLK, 1)
     click_cost = jnp.where(clicked, c_cents, 0)
-    prefix = jnp.cumsum(click_cost, axis=1)
+    # lane prefix sums via a lower-triangular matmul (Mosaic has no cumsum;
+    # this rides the MXU and is exact: cents values stay < 2^24 in f32)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
+    tril = (ii <= jj).astype(jnp.float32)
+    prefix = jnp.dot(
+        click_cost.astype(jnp.float32), tril, preferred_element_type=jnp.float32
+    ).astype(jnp.int32)
     viol = clicked & (prefix > b)
     first_viol = jnp.min(
         jnp.where(viol, lane, jnp.int32(m)), axis=1, keepdims=True
@@ -201,7 +218,6 @@ def pallas_simulate_day(
         raise ValueError(f"E={E} must divide by e_block={e_block}")
 
     n_auctions = split_volume(cfg, volumes.astype(jnp.int32))  # (T, E, K)
-    n_auctions = jnp.transpose(n_auctions, (1, 0, 2))  # (E, T, K)
     budget_c = jnp.round(jnp.asarray(budget, jnp.float32) * 100.0).astype(
         jnp.int32
     )[:, None]
@@ -229,7 +245,7 @@ def pallas_simulate_day(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params (8, K)
             pl.BlockSpec(
-                (e_block, 1, K), lambda e, t, k, _s: (e, t, 0),
+                (1, e_block, K), lambda e, t, k, _s: (t, e, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(

@@ -98,13 +98,15 @@ def _gate_keywords(
 ) -> Tuple[Tuple[Array, Array], Tuple[Array, Array, Array]]:
     """Thread the shared budget through keywords in order.
 
-    ``prefix`` is (K, M+1): prefix[k, j] = sum of keyword k's first j
+    ``prefix`` is (M+1, K): prefix[j, k] = sum of keyword k's first j
     clicked-cost draws; lanes at or beyond ``n_clicks[k]`` are invalid and
-    masked here. Returns final (budget, broken) and per-keyword
+    masked here. (Lane-major layout so the big tensors keep K on the
+    128-lane axis.) Returns final (budget, broken) and per-keyword
     (accepted_clicks, spend, simulated).
     """
-    m = prefix.shape[-1] - 1
+    m = prefix.shape[0] - 1
     lane = jnp.arange(m)
+    prefix = prefix.T  # (K, M+1) — scan iterates keywords; test-only path
 
     def body(carry, xs):
         b, broken = carry
@@ -149,17 +151,18 @@ def _gate_keywords_jacobi(
     which point every equation holds exactly — bit-identical to the scan
     (tests/test_step.py cross-checks).
     """
-    K, m1 = prefix.shape
+    m1, K = prefix.shape
     m = m1 - 1
     lane = jnp.arange(m)
     zero = jnp.zeros((), prefix.dtype)
 
     def g(B):
-        """Per-cell acceptance for start-budgets B (K,)."""
-        valid = (prefix[:, 1:] <= B[:, None]) & (lane[None, :] < n_clicks[:, None])
-        ok = jnp.cumprod(valid.astype(jnp.int32), axis=1)
-        p = jnp.sum(ok, axis=1).astype(jnp.int32)
-        spend = jnp.take_along_axis(prefix, p[:, None], axis=1)[:, 0]
+        """Per-cell acceptance for start-budgets B (K,). Lane-major
+        (M+1, K) layout keeps keywords on the vector lane axis."""
+        valid = (prefix[1:, :] <= B[None, :]) & (lane[:, None] < n_clicks[None, :])
+        ok = jnp.cumprod(valid.astype(jnp.int32), axis=0)
+        p = jnp.sum(ok, axis=0).astype(jnp.int32)
+        spend = jnp.take_along_axis(prefix, p[None, :], axis=0)[0]
         return p, spend
 
     def sweep(spend):
@@ -228,6 +231,8 @@ def simulate_day(
         kt = jax.random.fold_in(k_cells, t)
         k_auc, k_click, k_conv, k_rev = jax.random.split(kt, 4)
 
+        # NB all (M, K) tensors are lane-major: K rides the 128-lane axis
+        # (K ~ 100 pads 1.28x vs 2.7x for M ~ 48 on the lane axis)
         cell = run_cell_auctions(
             cfg, k_auc, bids, n_auc_t, kw, dtype=dtype, max_clicks=m
         )
@@ -240,11 +245,11 @@ def simulate_day(
         if cents:
             cents_dtype = jnp.int64 if cfg.use_x64 else jnp.int32
             costs = jnp.round(cell.cost_draws * 100.0).astype(cents_dtype)
-            pad = jnp.zeros((K, 1), cents_dtype)
+            pad = jnp.zeros((1, K), cents_dtype)
         else:
             costs = cell.cost_draws
-            pad = jnp.zeros((K, 1), dtype)
-        prefix = jnp.concatenate([pad, jnp.cumsum(costs, axis=1)], axis=1)
+            pad = jnp.zeros((1, K), dtype)
+        prefix = jnp.concatenate([pad, jnp.cumsum(costs, axis=0)], axis=0)
         if cfg.gate_mode == "jacobi":
             (b, broken), (accepted, spend, simulated) = _gate_keywords_jacobi(
                 b, broken, prefix, n_clicks, max_iter=K + 2
@@ -260,23 +265,23 @@ def simulate_day(
         # the first `accepted` consumed, so the draw table is independent
         # of budget gating (the oracle injects these, tests/test_step.py).
         conv_flags = (
-            jax.random.uniform(k_conv, (K, m)) <= kw.sctr[:, None]
+            jax.random.uniform(k_conv, (m, K)) <= kw.sctr[None, :]
         ).astype(jnp.int32)
         conv_prefix = jnp.concatenate(
-            [jnp.zeros((K, 1), jnp.int32), jnp.cumsum(conv_flags, axis=1)], axis=1
+            [jnp.zeros((1, K), jnp.int32), jnp.cumsum(conv_flags, axis=0)], axis=0
         )
-        n_conv = jnp.take_along_axis(conv_prefix, accepted[:, None], axis=1)[:, 0]
+        n_conv = jnp.take_along_axis(conv_prefix, accepted[None, :], axis=0)[0]
         # revenue draws are always cent-quantized (rev_normal_cents); sum
         # them as exact integer cents so accumulation order cannot matter
         rev_draws = dist.rev_normal_cents(
-            k_rev, kw.rev_mean[:, None], kw.rev_std[:, None], (K, m), dtype=dtype
+            k_rev, kw.rev_mean[None, :], kw.rev_std[None, :], (m, K), dtype=dtype
         )
         rev_dtype = jnp.int64 if cfg.use_x64 else jnp.int32
         rev_cents = jnp.round(rev_draws * 100.0).astype(rev_dtype)
         rev_prefix = jnp.concatenate(
-            [jnp.zeros((K, 1), rev_dtype), jnp.cumsum(rev_cents, axis=1)], axis=1
+            [jnp.zeros((1, K), rev_dtype), jnp.cumsum(rev_cents, axis=0)], axis=0
         )
-        revenue_c = jnp.take_along_axis(rev_prefix, n_conv[:, None], axis=1)[:, 0]
+        revenue_c = jnp.take_along_axis(rev_prefix, n_conv[None, :], axis=0)[0]
 
         imp = jnp.where(simulated, cell.impressions, 0)
         out = (
@@ -376,12 +381,14 @@ def sample_day_draws(
             cfg, k_auc, bids, n_auctions[t], kw, dtype=dtype, max_clicks=m
         )
         n_clicks = dist.binomial(k_click, cell.n_candidates, kw.bctr)
-        conv_flags = jax.random.uniform(k_conv, (K, m)) <= kw.sctr[:, None]
+        conv_flags = jax.random.uniform(k_conv, (m, K)) <= kw.sctr[None, :]
         rev_draws = dist.rev_normal_cents(
-            k_rev, kw.rev_mean[:, None], kw.rev_std[:, None], (K, m), dtype=dtype
+            k_rev, kw.rev_mean[None, :], kw.rev_std[None, :], (m, K), dtype=dtype
         )
 
-        def pad(x, fill=0):
+        def pad(x_mk, fill=0):
+            """(m, K) lane-major draws -> (K, M) oracle-table rows."""
+            x = x_mk.T
             if m == M:
                 return x
             return jnp.concatenate(
