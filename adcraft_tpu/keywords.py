@@ -141,6 +141,50 @@ def make_keyword_state(
     )
 
 
+def default_keyword_state(
+    key: Array,
+    num_keywords: int,
+    rev_mean,
+    rev_std,
+    volume: float = 1000.0,
+    vol_std: float = 0.0,
+    buyside_ctr=None,
+    buyside_ctr_avg: float = DEFAULT_BUYSIDE_CTR_AVG,
+    sellside_paid_ctr=None,
+    sellside_paid_ctr_avg: float = DEFAULT_SELLSIDE_CTR_AVG,
+    **overrides,
+) -> KeywordState:
+    """Keyword construction with the reference's default cascade.
+
+    Mirrors the base ``Keyword`` initializers
+    (synthetic_kw_classes.py:377-454): constant volume 1000 by default;
+    buyside/sellside CTRs either given explicitly or sampled from
+    Beta(1, (1-avg)/avg) around the (overridable) observed means; the
+    revenue distribution must be specified (the reference raises without a
+    reward sampler). Other params pass through to
+    :func:`make_keyword_state`.
+    """
+    k_b, k_s = jax.random.split(key)
+    if buyside_ctr is None:
+        buyside_ctr = dist.beta_mean_alpha1(
+            k_b, jnp.full((num_keywords,), buyside_ctr_avg)
+        )
+    if sellside_paid_ctr is None:
+        sellside_paid_ctr = dist.beta_mean_alpha1(
+            k_s, jnp.full((num_keywords,), sellside_paid_ctr_avg)
+        )
+    return make_keyword_state(
+        num_keywords,
+        vol_mean=volume,
+        vol_std=vol_std,
+        bctr=dist.probify(jnp.asarray(buyside_ctr, jnp.float32)),
+        sctr=dist.probify(jnp.asarray(sellside_paid_ctr, jnp.float32)),
+        rev_mean=rev_mean,
+        rev_std=rev_std,
+        **overrides,
+    )
+
+
 # ---------------------------------------------------------------------------
 # random explicit keywords (reference sample_random_keywords,
 # gymnasium_kw_utils.py:113-156)
