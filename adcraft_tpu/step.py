@@ -17,10 +17,17 @@ TPU-native structure:
   (identical semantics, including break-at-first-overspend, for costs of
   any sign).
 * The shared depleting budget across (sub-timestep, keyword) cells
-  (bidding_simulation.py:216-233) is a ``lax.scan`` over keywords inside a
-  ``lax.scan`` over sub-timesteps, with cheap per-cell vector math. Both
-  break conditions (keyword loop and timestep loop, :230-233) collapse into
-  one ``broken`` flag because a break permanently ends the day.
+  (bidding_simulation.py:216-233) is resolved by ONE global gate over all
+  T*K cells in lexicographic (sub-timestep, keyword) order — a parallel
+  Jacobi fixed point by default (a handful of O(T*K*M) sweeps), or a
+  sequential ``lax.scan`` for cross-validation. Both break conditions
+  (keyword loop and timestep loop, :230-233) collapse into one ``broken``
+  flag because a break permanently ends the day.
+* ALL stochastic sampling is hoisted out of any sequential structure: the
+  per-sub-timestep draw tables are produced by a ``vmap`` over the
+  sub-timestep index (same ``fold_in`` key tree as a sequential loop, so
+  draw values are identical), giving XLA one wide, fully parallel sampling
+  phase followed by the cheap gate.
 
 Everything is shape-static: cost/revenue buffers have length
 ``cfg.max_clicks_per_cell`` and invalid lanes are poisoned with +inf before
@@ -200,6 +207,63 @@ def _gate_keywords_jacobi(
     return (b_out, broken_out), (p, spend, sim)
 
 
+def _cell_tables(cfg: EnvConfig, k_cells, kw, bids, t, n_auc_t, m: int, dtype):
+    """Sample one sub-timestep's draw tables, prefix-summed for gating.
+
+    Returns (impressions (K,), n_clicks (K,), cost_prefix (m+1, K),
+    conv_prefix (m+1, K), rev_prefix (m+1, K)). The key tree
+    (``fold_in(k_cells, t)`` then a 4-way site split) is the contract
+    mirrored by ``sample_day_draws``; it is identical whether cells are
+    sampled sequentially or vmapped over ``t``.
+    """
+    K = kw.num_keywords
+    kt = jax.random.fold_in(k_cells, t)
+    k_auc, k_click, k_conv, k_rev = jax.random.split(kt, 4)
+
+    # NB all (M, K) tensors are lane-major: K rides the 128-lane axis
+    # (K ~ 100 pads 1.28x vs 2.7x for M ~ 48 on the lane axis)
+    cell = run_cell_auctions(
+        cfg, k_auc, bids, n_auc_t, kw, dtype=dtype, max_clicks=m
+    )
+    # buyside click coinflips per candidate (synthetic_kw_classes.py:207-219)
+    n_clicks = dist.binomial(k_click, cell.n_candidates, kw.bctr)
+    # prefix-sum the clicked-cost draws for budget gating. Cents models
+    # gate in exact integer cents (cfg.cents_costs — association-free,
+    # exact even in f32 mode); continuous models gate in the money
+    # dtype. Lanes at/after n_clicks are masked inside the gate.
+    if cfg.cents_costs:
+        cents_dtype = jnp.int64 if cfg.use_x64 else jnp.int32
+        costs = jnp.round(cell.cost_draws * 100.0).astype(cents_dtype)
+        pad = jnp.zeros((1, K), cents_dtype)
+    else:
+        costs = cell.cost_draws
+        pad = jnp.zeros((1, K), dtype)
+    cost_prefix = jnp.concatenate([pad, jnp.cumsum(costs, axis=0)], axis=0)
+
+    # sellside conversion coinflips (bidding_simulation.py:106-109;
+    # coinflips are `u <= p`, synthetic_kw_helpers.py:73-77). Flags are
+    # drawn per candidate and the first `accepted` consumed, so the draw
+    # table is independent of budget gating (the oracle injects these,
+    # tests/test_step.py).
+    conv_flags = (
+        jax.random.uniform(k_conv, (m, K)) <= kw.sctr[None, :]
+    ).astype(jnp.int32)
+    conv_prefix = jnp.concatenate(
+        [jnp.zeros((1, K), jnp.int32), jnp.cumsum(conv_flags, axis=0)], axis=0
+    )
+    # revenue draws are always cent-quantized (rev_normal_cents); sum
+    # them as exact integer cents so accumulation order cannot matter
+    rev_draws = dist.rev_normal_cents(
+        k_rev, kw.rev_mean[None, :], kw.rev_std[None, :], (m, K), dtype=dtype
+    )
+    rev_dtype = jnp.int64 if cfg.use_x64 else jnp.int32
+    rev_cents = jnp.round(rev_draws * 100.0).astype(rev_dtype)
+    rev_prefix = jnp.concatenate(
+        [jnp.zeros((1, K), rev_dtype), jnp.cumsum(rev_cents, axis=0)], axis=0
+    )
+    return cell.impressions, n_clicks, cost_prefix, conv_prefix, rev_prefix
+
+
 def simulate_day(
     cfg: EnvConfig,
     key: Array,
@@ -213,6 +277,13 @@ def simulate_day(
     Pure function: (key, keyword state, bids (K,), scalar budget) ->
     per-keyword DayOutcomes. Equivalent to
     ``simulate_epoch_of_bidding_on_campaign`` (bidding_simulation.py:170-234).
+
+    Structure: (1) one fully parallel sampling phase over the whole
+    (sub-timestep, keyword) grid — vmap over the sub-timestep index with
+    the same fold_in key tree as a sequential loop, so draws are
+    bit-identical either way; (2) ONE budget gate over all T*K cells in
+    lexicographic order (the only sequential dependency of the day);
+    (3) parallel gathers and reductions.
     """
     if dtype is None:
         dtype = cfg.money_dtype
@@ -225,74 +296,12 @@ def simulate_day(
     volume = jnp.minimum(volume, cfg.max_volume)
     n_auctions = split_volume(cfg, volume)  # (T, K)
 
-    def cell_step(carry, t, n_auc_t, m):
-        """One sub-timestep with click-buffer width m."""
-        b, broken = carry
-        kt = jax.random.fold_in(k_cells, t)
-        k_auc, k_click, k_conv, k_rev = jax.random.split(kt, 4)
-
-        # NB all (M, K) tensors are lane-major: K rides the 128-lane axis
-        # (K ~ 100 pads 1.28x vs 2.7x for M ~ 48 on the lane axis)
-        cell = run_cell_auctions(
-            cfg, k_auc, bids, n_auc_t, kw, dtype=dtype, max_clicks=m
-        )
-        # buyside click coinflips per candidate (synthetic_kw_classes.py:207-219)
-        n_clicks = dist.binomial(k_click, cell.n_candidates, kw.bctr)
-        # prefix-sum the clicked-cost draws for budget gating. Cents models
-        # gate in exact integer cents (cfg.cents_costs — association-free,
-        # exact even in f32 mode); continuous models gate in the money
-        # dtype. Lanes at/after n_clicks are masked inside the gate.
-        if cents:
-            cents_dtype = jnp.int64 if cfg.use_x64 else jnp.int32
-            costs = jnp.round(cell.cost_draws * 100.0).astype(cents_dtype)
-            pad = jnp.zeros((1, K), cents_dtype)
-        else:
-            costs = cell.cost_draws
-            pad = jnp.zeros((1, K), dtype)
-        prefix = jnp.concatenate([pad, jnp.cumsum(costs, axis=0)], axis=0)
+    def gate(b, broken, prefix, n_clicks):
         if cfg.gate_mode == "jacobi":
-            (b, broken), (accepted, spend, simulated) = _gate_keywords_jacobi(
-                b, broken, prefix, n_clicks, max_iter=K + 2
+            return _gate_keywords_jacobi(
+                b, broken, prefix, n_clicks, max_iter=prefix.shape[1] + 2
             )
-        else:
-            (b, broken), (accepted, spend, simulated) = _gate_keywords(
-                b, broken, prefix, n_clicks
-            )
-
-        # sellside conversion coinflips on accepted clicks
-        # (bidding_simulation.py:106-109; coinflips are `u <= p`,
-        # synthetic_kw_helpers.py:73-77). Flags are drawn per candidate and
-        # the first `accepted` consumed, so the draw table is independent
-        # of budget gating (the oracle injects these, tests/test_step.py).
-        conv_flags = (
-            jax.random.uniform(k_conv, (m, K)) <= kw.sctr[None, :]
-        ).astype(jnp.int32)
-        conv_prefix = jnp.concatenate(
-            [jnp.zeros((1, K), jnp.int32), jnp.cumsum(conv_flags, axis=0)], axis=0
-        )
-        n_conv = jnp.take_along_axis(conv_prefix, accepted[None, :], axis=0)[0]
-        # revenue draws are always cent-quantized (rev_normal_cents); sum
-        # them as exact integer cents so accumulation order cannot matter
-        rev_draws = dist.rev_normal_cents(
-            k_rev, kw.rev_mean[None, :], kw.rev_std[None, :], (m, K), dtype=dtype
-        )
-        rev_dtype = jnp.int64 if cfg.use_x64 else jnp.int32
-        rev_cents = jnp.round(rev_draws * 100.0).astype(rev_dtype)
-        rev_prefix = jnp.concatenate(
-            [jnp.zeros((1, K), rev_dtype), jnp.cumsum(rev_cents, axis=0)], axis=0
-        )
-        revenue_c = jnp.take_along_axis(rev_prefix, n_conv[None, :], axis=0)[0]
-
-        imp = jnp.where(simulated, cell.impressions, 0)
-        out = (
-            imp,
-            jnp.where(simulated, accepted, 0),
-            jnp.where(simulated, spend, jnp.zeros_like(spend)),
-            jnp.where(simulated, n_conv, 0),
-            jnp.where(simulated, revenue_c, 0),
-            jnp.where(simulated & (imp >= 1), n_auc_t, 0),
-        )
-        return (b, broken), out
+        return _gate_keywords(b, broken, prefix, n_clicks)
 
     if cents:
         cdt = jnp.int64 if cfg.use_x64 else jnp.int32
@@ -301,24 +310,61 @@ def simulate_day(
     else:
         init_b = jnp.asarray(budget, dtype)
 
+    # ---- phase 1: parallel sampling ----
     # Two-tier lane buffers: sub-timestep 0 carries the volume remainder
-    # (bound max_clicks_per_cell); the T-1 scanned steps each run exactly
+    # (bound max_clicks_per_cell); sub-timesteps 1..T-1 each run exactly
     # vol//T auctions (bound max_clicks_rest, roughly half) — nearly
     # halving the per-day sampling work.
-    carry = (init_b, jnp.asarray(False))
-    carry, out0 = cell_step(
-        carry, jnp.asarray(0), n_auctions[0], cfg.max_clicks_per_cell
+    imp0, ncl0, cpre0, vpre0, rpre0 = _cell_tables(
+        cfg, k_cells, kw, bids, jnp.asarray(0), n_auctions[0],
+        cfg.max_clicks_per_cell, dtype,
     )
     if T > 1:
-        def scan_body(c, xs):
-            t, n_auc_t = xs
-            return cell_step(c, t, n_auc_t, cfg.max_clicks_rest)
+        # out_axes puts the lane axis first on the prefix tables, so the
+        # (T-1, K) cell grid flattens to lexicographic order for free.
+        imp1, ncl1, cpre1, vpre1, rpre1 = jax.vmap(
+            lambda t, n: _cell_tables(
+                cfg, k_cells, kw, bids, t, n, cfg.max_clicks_rest, dtype
+            ),
+            out_axes=(0, 0, 1, 1, 1),
+        )(jnp.arange(1, T), n_auctions[1:])
 
-        xs = (jnp.arange(1, T), n_auctions[1:])
-        _, out_rest = lax.scan(scan_body, carry, xs)
+    # ---- phase 2: the global budget gate ----
+    (b, broken), (acc0, spend0, sim0) = gate(
+        init_b, jnp.asarray(False), cpre0, ncl0
+    )
+    if T > 1:
+        m1p, t1 = cpre1.shape[0], T - 1
+        (b, broken), (acc1f, spend1f, sim1f) = gate(
+            b, broken, cpre1.reshape(m1p, t1 * K), ncl1.reshape(t1 * K)
+        )
+        acc1 = acc1f.reshape(t1, K)
+        spend1 = spend1f.reshape(t1, K)
+        sim1 = sim1f.reshape(t1, K)
+
+    # ---- phase 3: gathers + reductions ----
+    nconv0 = jnp.take_along_axis(vpre0, acc0[None, :], axis=0)[0]
+    rev0 = jnp.take_along_axis(rpre0, nconv0[None, :], axis=0)[0]
+
+    def cell_out(imp_c, acc_c, spend_c, nconv_c, rev_c, sim_c, n_auc_c):
+        imp_m = jnp.where(sim_c, imp_c, 0)
+        return (
+            imp_m,
+            jnp.where(sim_c, acc_c, 0),
+            jnp.where(sim_c, spend_c, jnp.zeros_like(spend_c)),
+            jnp.where(sim_c, nconv_c, 0),
+            jnp.where(sim_c, rev_c, 0),
+            jnp.where(sim_c & (imp_m >= 1), n_auc_c, 0),
+        )
+
+    out0 = cell_out(imp0, acc0, spend0, nconv0, rev0, sim0, n_auctions[0])
+    if T > 1:
+        nconv1 = jnp.take_along_axis(vpre1, acc1[None, :, :], axis=0)[0]
+        rev1 = jnp.take_along_axis(rpre1, nconv1[None, :, :], axis=0)[0]
+        out1 = cell_out(imp1, acc1, spend1, nconv1, rev1, sim1, n_auctions[1:])
         outs = tuple(
-            jnp.concatenate([o0[None], orest], axis=0)
-            for o0, orest in zip(out0, out_rest)
+            jnp.concatenate([o0[None], o1], axis=0)
+            for o0, o1 in zip(out0, out1)
         )
     else:
         outs = tuple(o0[None] for o0 in out0)
