@@ -126,6 +126,15 @@ class EnvConfig:
     # cross-validation). Bit-identical results (tests/test_step.py).
     gate_mode: str = "jacobi"
 
+    # budget-gate granularity: "per_t" (default) runs one gate per
+    # sub-timestep inside a T-step lax.scan — Jacobi chains stay short
+    # (cells within one sub-timestep) and each sweep touches only an
+    # (M+1, K) tile; "global" gates all T*K cells in one call — fewer
+    # dispatches but worst-case Jacobi sweep counts grow with the length
+    # of budget-decay chains across the whole day (slow when the budget
+    # binds gradually). Bit-identical results either way.
+    gate_scope: str = "per_t"
+
     # PRNG implementation for per-env root keys created by the batch APIs
     # ("threefry2x32" | "rbg" | "unsafe_rbg"). The step itself is
     # impl-agnostic (it uses whatever key it is handed). rbg uses the XLA

@@ -25,7 +25,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from adcraft_tpu import metrics as M
-from adcraft_tpu.baselines import NaiveZeroMarginStrategy
+from adcraft_tpu.baselines import (
+    NaiveInterpolationStrategy,
+    NaiveZeroMarginStrategy,
+)
 from adcraft_tpu.config import EnvConfig, KeywordKind
 from adcraft_tpu.env import env_reset, env_step
 from adcraft_tpu.keywords import sample_implicit_keywords
@@ -40,9 +43,13 @@ def run_episode_batch(
     env_seeds: Iterable[int],
     agent_seeds: Iterable[int],
     num_days: Optional[int] = None,
+    agent: str = "zero_margin",
 ) -> Dict[str, np.ndarray]:
     """Run |env_seeds| x |agent_seeds| episodes in one vectorized rollout.
 
+    ``agent`` selects the baseline: "zero_margin" (the agent behind every
+    reference heatmap figure) or "interpolation"
+    (NaiveInterpolationStrategy, interpolated_expectations.py:298-439).
     Returns kw_profits and ideal_profits of shape (B, T, K) where B is the
     seed-pair batch, plus the seed pairs.
     """
@@ -50,7 +57,12 @@ def run_episode_batch(
     B = len(pairs)
     K = cfg.num_keywords
     T = num_days or cfg.max_days
-    agent = NaiveZeroMarginStrategy(K)
+    if agent == "zero_margin":
+        agent = NaiveZeroMarginStrategy(K)
+    elif agent == "interpolation":
+        agent = NaiveInterpolationStrategy(K)
+    elif isinstance(agent, str):
+        raise ValueError(f"unknown agent {agent!r}")
 
     env_keys = jnp.stack(
         [jax.random.PRNGKey(int(es)) for es, _ in pairs]
@@ -114,6 +126,7 @@ def run_sparsity_experiments(
     num_keywords: int = 100,
     max_days: int = 60,
     verbose: bool = True,
+    agent: str = "zero_margin",
 ) -> None:
     """Full vol x cvr sweep, npz-per-(cell, seed-pair), resumable.
 
@@ -144,6 +157,7 @@ def run_sparsity_experiments(
             table,
             env_seeds=sorted({es for es, _ in todo}),
             agent_seeds=sorted({a for _, a in todo}),
+            agent=agent,
         )
         for i, (es, asd) in enumerate(out["pairs"]):
             np.savez(

@@ -17,9 +17,10 @@ TPU-native structure:
   (identical semantics, including break-at-first-overspend, for costs of
   any sign).
 * The shared depleting budget across (sub-timestep, keyword) cells
-  (bidding_simulation.py:216-233) is resolved by ONE global gate over all
-  T*K cells in lexicographic (sub-timestep, keyword) order — a parallel
-  Jacobi fixed point by default (a handful of O(T*K*M) sweeps), or a
+  (bidding_simulation.py:216-233) is resolved by a budget gate over cells
+  in lexicographic (sub-timestep, keyword) order — a parallel Jacobi fixed
+  point by default (a handful of O(K*M) sweeps per sub-timestep;
+  ``cfg.gate_scope`` picks per-sub-timestep vs whole-day gating), or a
   sequential ``lax.scan`` for cross-validation. Both break conditions
   (keyword loop and timestep loop, :230-233) collapse into one ``broken``
   flag because a break permanently ends the day.
@@ -320,27 +321,39 @@ def simulate_day(
         cfg.max_clicks_per_cell, dtype,
     )
     if T > 1:
-        # out_axes puts the lane axis first on the prefix tables, so the
-        # (T-1, K) cell grid flattens to lexicographic order for free.
+        # gate_scope="global" wants lane-major stacked tables (the (T-1, K)
+        # cell grid flattens to lexicographic order for free); "per_t"
+        # wants t-major so the gate scan slices per-sub-timestep tiles.
+        pax = 1 if cfg.gate_scope == "global" else 0
         imp1, ncl1, cpre1, vpre1, rpre1 = jax.vmap(
             lambda t, n: _cell_tables(
                 cfg, k_cells, kw, bids, t, n, cfg.max_clicks_rest, dtype
             ),
-            out_axes=(0, 0, 1, 1, 1),
+            out_axes=(0, 0, pax, pax, pax),
         )(jnp.arange(1, T), n_auctions[1:])
 
-    # ---- phase 2: the global budget gate ----
+    # ---- phase 2: the budget gate ----
     (b, broken), (acc0, spend0, sim0) = gate(
         init_b, jnp.asarray(False), cpre0, ncl0
     )
     if T > 1:
-        m1p, t1 = cpre1.shape[0], T - 1
-        (b, broken), (acc1f, spend1f, sim1f) = gate(
-            b, broken, cpre1.reshape(m1p, t1 * K), ncl1.reshape(t1 * K)
-        )
-        acc1 = acc1f.reshape(t1, K)
-        spend1 = spend1f.reshape(t1, K)
-        sim1 = sim1f.reshape(t1, K)
+        t1 = T - 1
+        if cfg.gate_scope == "global":
+            m1p = cpre1.shape[0]
+            (b, broken), (acc1f, spend1f, sim1f) = gate(
+                b, broken, cpre1.reshape(m1p, t1 * K), ncl1.reshape(t1 * K)
+            )
+            acc1 = acc1f.reshape(t1, K)
+            spend1 = spend1f.reshape(t1, K)
+            sim1 = sim1f.reshape(t1, K)
+        else:
+            def gate_body(carry, xs):
+                cpre_t, ncl_t = xs
+                return gate(carry[0], carry[1], cpre_t, ncl_t)
+
+            (b, broken), (acc1, spend1, sim1) = lax.scan(
+                gate_body, (b, broken), (cpre1, ncl1)
+            )
 
     # ---- phase 3: gathers + reductions ----
     nconv0 = jnp.take_along_axis(vpre0, acc0[None, :], axis=0)[0]
@@ -359,8 +372,12 @@ def simulate_day(
 
     out0 = cell_out(imp0, acc0, spend0, nconv0, rev0, sim0, n_auctions[0])
     if T > 1:
-        nconv1 = jnp.take_along_axis(vpre1, acc1[None, :, :], axis=0)[0]
-        rev1 = jnp.take_along_axis(rpre1, nconv1[None, :, :], axis=0)[0]
+        if cfg.gate_scope == "global":  # tables are (M1+1, T-1, K)
+            nconv1 = jnp.take_along_axis(vpre1, acc1[None, :, :], axis=0)[0]
+            rev1 = jnp.take_along_axis(rpre1, nconv1[None, :, :], axis=0)[0]
+        else:  # tables are (T-1, M1+1, K)
+            nconv1 = jnp.take_along_axis(vpre1, acc1[:, None, :], axis=1)[:, 0, :]
+            rev1 = jnp.take_along_axis(rpre1, nconv1[:, None, :], axis=1)[:, 0, :]
         out1 = cell_out(imp1, acc1, spend1, nconv1, rev1, sim1, n_auctions[1:])
         outs = tuple(
             jnp.concatenate([o0[None], o1], axis=0)

@@ -1,0 +1,154 @@
+"""Decompose TPU step time by ablating control-flow-heavy components.
+
+Variants (monkeypatched, NOT semantics-preserving — timing probes only):
+
+  full    — the production step, unmodified.
+  fixed4  — Jacobi gate with 4 UNROLLED sweeps, no while_loop (wrong if a
+            gate needs >4 sweeps; fine for timing).
+  nogate  — gate replaced by unconditional full acceptance (no budget
+            threading at all).
+  nobinom — nogate + dist.binomial replaced by a deterministic round(n*p)
+            (removes jax.random.binomial's internal while_loops) — what's
+            left is pure sampling + reductions.
+
+Usage: python scripts/tpu_probe.py [variant ...]   (default: all)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+
+import jax
+import jax.numpy as jnp
+
+NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 4096))
+NUM_KEYWORDS = int(os.environ.get("BENCH_NUM_KEYWORDS", 100))
+STEPS = int(os.environ.get("BENCH_STEPS", 8))
+
+
+def time_step(tag):
+    from adcraft_tpu.config import EnvConfig, KeywordKind
+    from adcraft_tpu.env import VectorBiddingEnv
+    from adcraft_tpu.quantiles import simple_experiment_table
+
+    cfg = EnvConfig(
+        num_keywords=NUM_KEYWORDS,
+        kind=KeywordKind.IMPLICIT,
+        max_volume=576,
+        max_days=60,
+    )
+    table = simple_experiment_table(128, 0.8)
+    venv = VectorBiddingEnv(cfg, NUM_ENVS, table=table)
+    key = jax.random.PRNGKey(0)
+    state, _ = venv.reset(key)
+    bids = jnp.full((NUM_ENVS, NUM_KEYWORDS), 1.0, jnp.float32)
+
+    t_c0 = time.perf_counter()
+    state, ts = venv.step(state, bids)
+    float(ts.reward.sum())
+    compile_s = time.perf_counter() - t_c0
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, ts = venv.step(state, bids)
+    float(ts.reward.sum())
+    dt = time.perf_counter() - t0
+    print(
+        f"PROBE {tag}: {NUM_ENVS * STEPS / dt:.1f} env-steps/s "
+        f"({dt / STEPS * 1e3:.1f} ms/step, compile+warm {compile_s:.1f}s)",
+        flush=True,
+    )
+
+
+def patch_fixed4():
+    import adcraft_tpu.step as step_mod
+
+    def jacobi_fixed(budget0, broken0, prefix, n_clicks, max_iter):
+        m1, K = prefix.shape
+        m = m1 - 1
+        lane = jnp.arange(m)
+        zero = jnp.zeros((), prefix.dtype)
+
+        def g(B):
+            valid = (prefix[1:, :] <= B[None, :]) & (
+                lane[:, None] < n_clicks[None, :]
+            )
+            ok = jnp.cumprod(valid.astype(jnp.int32), axis=0)
+            p = jnp.sum(ok, axis=0).astype(jnp.int32)
+            spend = jnp.take_along_axis(prefix, p[None, :], axis=0)[0]
+            return p, spend
+
+        def sweep(spend):
+            excl = jnp.concatenate([zero[None], jnp.cumsum(spend)[:-1]])
+            B = budget0 - excl
+            p2, s2 = g(B)
+            nb = B - s2
+            alive = jnp.cumprod((nb > 0).astype(jnp.int32))
+            sim = ~broken0 & jnp.concatenate(
+                [jnp.ones((1,), bool), alive[:-1].astype(bool)]
+            )
+            return jnp.where(sim, s2, zero), jnp.where(sim, p2, 0), sim
+
+        p, spend = g(jnp.full((K,), budget0, prefix.dtype))
+        sim = jnp.full((K,), ~broken0)
+        spend = jnp.where(sim, spend, zero)
+        p = jnp.where(sim, p, 0)
+        for _ in range(4):  # unrolled — no dynamic control flow
+            spend, p, sim = sweep(spend)
+        b_path = budget0 - jnp.cumsum(spend)
+        return (b_path[-1], broken0 | jnp.any(b_path <= 0)), (p, spend, sim)
+
+    step_mod._gate_keywords_jacobi = jacobi_fixed
+
+
+def patch_nogate():
+    import adcraft_tpu.step as step_mod
+
+    def accept_all(budget0, broken0, prefix, n_clicks, max_iter=0):
+        K = prefix.shape[1]
+        spend = jnp.take_along_axis(prefix, n_clicks[None, :], axis=0)[0]
+        sim = jnp.full((K,), True)
+        return (budget0, broken0), (n_clicks, spend, sim)
+
+    step_mod._gate_keywords_jacobi = accept_all
+
+
+def patch_nobinom():
+    from adcraft_tpu import distributions as dist_mod
+    import adcraft_tpu.auction as auction_mod
+    import adcraft_tpu.step as step_mod
+
+    def det_binomial(key, n, p, shape=None):
+        n = jnp.asarray(n, jnp.float32)
+        p = jnp.clip(jnp.asarray(p, jnp.float32), 0.0, 1.0)
+        if shape is None:
+            shape = jnp.broadcast_shapes(n.shape, p.shape)
+        return jnp.broadcast_to(jnp.round(n * p), shape).astype(jnp.int32)
+
+    dist_mod.binomial = det_binomial
+    auction_mod.dist.binomial = det_binomial
+    step_mod.dist.binomial = det_binomial
+
+
+if __name__ == "__main__":
+    variants = sys.argv[1:] or ["full", "fixed4", "nogate", "nobinom"]
+    for v in variants:
+        if v == "full":
+            pass
+        elif v == "fixed4":
+            patch_fixed4()
+        elif v == "nogate":
+            patch_nogate()
+        elif v == "nobinom":
+            patch_nogate()
+            patch_nobinom()
+        else:
+            raise SystemExit(f"unknown variant {v}")
+        time_step(v)

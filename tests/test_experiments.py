@@ -67,6 +67,28 @@ def test_harness_episode_batch_and_npz(tmp_path):
 
 
 @pytest.mark.unit
+def test_harness_interpolation_agent():
+    cfg = EnvConfig(
+        num_keywords=4,
+        max_days=5,
+        kind=__import__(
+            "adcraft_tpu.config", fromlist=["KeywordKind"]
+        ).KeywordKind.IMPLICIT,
+        max_volume=96,
+    )
+    table = simple_experiment_table(16, 0.5)
+    out = run_episode_batch(
+        cfg, table, env_seeds=[5], agent_seeds=[0, 1], agent="interpolation"
+    )
+    assert out["kw_profits"].shape == (2, 5, 4)
+    assert np.all(np.isfinite(out["kw_profits"]))
+    with np.testing.assert_raises(ValueError):
+        run_episode_batch(
+            cfg, table, env_seeds=[5], agent_seeds=[0], agent="nope"
+        )
+
+
+@pytest.mark.unit
 def test_checkpoint_round_trip(tmp_path, key):
     import jax
     import jax.numpy as jnp

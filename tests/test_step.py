@@ -218,6 +218,32 @@ def test_jacobi_gate_matches_scan_gate(seed, budget):
 
 
 @pytest.mark.unit
+@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("budget", [1e6, 40.0, 12.0, 3.0, 0.5, 0.0])
+def test_global_gate_matches_per_t_gate(seed, budget):
+    """Whole-day gating must be bit-identical to per-sub-timestep gating
+    (both lexicographic forward substitution on the shared budget)."""
+    kw = implicit_kw(IMPLICIT_CFG.num_keywords, seed + 3)
+    bids = jnp.asarray(
+        np.random.default_rng(seed + 50).uniform(
+            0.3, 2.5, IMPLICIT_CFG.num_keywords
+        )
+    )
+    key = jax.random.PRNGKey(1000 + seed)
+    outs = {}
+    for scope in ("per_t", "global"):
+        cfg = IMPLICIT_CFG.replace(gate_scope=scope)
+        outs[scope] = jax.tree.map(
+            np.asarray,
+            _jit_day(cfg)(key, kw, bids, jnp.asarray(budget, jnp.float32)),
+        )
+    for field, a in outs["per_t"]._asdict().items():
+        np.testing.assert_array_equal(
+            a, getattr(outs["global"], field), err_msg=field
+        )
+
+
+@pytest.mark.unit
 def test_day_invariants(key):
     kw = implicit_kw(IMPLICIT_CFG.num_keywords, 0)
     bids = jnp.full((IMPLICIT_CFG.num_keywords,), 1.0)
