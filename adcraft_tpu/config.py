@@ -135,6 +135,14 @@ class EnvConfig:
     # binds gradually). Bit-identical results either way.
     gate_scope: str = "per_t"
 
+    # Day-simulation kernel for the batched (VectorBiddingEnv) step:
+    # "xla" (default) is the fused jnp step — key-driven, oracle-parity
+    # tested; "pallas" is the VMEM-resident fused TPU kernel
+    # (adcraft_tpu.pallas_kernels) — distribution-exact but a different
+    # PRNG stream (hardware prng_random_bits), implicit single-competitor
+    # models only, and only via the batched API.
+    day_kernel: str = "xla"
+
     # PRNG implementation for per-env root keys created by the batch APIs
     # ("threefry2x32" | "rbg" | "unsafe_rbg"). The step itself is
     # impl-agnostic (it uses whatever key it is handed). rbg uses the XLA

@@ -227,6 +227,95 @@ def env_autoreset_step(
     return picked, ts
 
 
+def _pallas_e_block(num_envs: int, e_block: int) -> int:
+    e_block = min(e_block, num_envs)
+    while num_envs % e_block:
+        e_block //= 2
+    return max(e_block, 1)
+
+
+def vector_env_step_pallas(
+    cfg: EnvConfig,
+    state: EnvState,
+    bids: Array,
+    budget: Optional[Array] = None,
+    e_block: int = 256,
+    interpret=False,
+):
+    """Batched day step running the fused Pallas day kernel.
+
+    Same transition semantics as ``env_step`` (bid clamp/rounding, budget
+    override, reward, truncation/termination, non-stationary drift), but
+    the whole day simulation runs VMEM-resident with the TPU hardware PRNG
+    (adcraft_tpu.pallas_kernels) — distribution-exact, stream-different
+    from the XLA path. ``state`` carries a leading (E,) batch axis; do not
+    vmap this function.
+    """
+    from adcraft_tpu.pallas_kernels import pallas_simulate_day
+
+    dtype = cfg.money_dtype
+    E = state.day.shape[0]
+    K = cfg.num_keywords
+    ks = jax.vmap(lambda k: jax.random.split(k, 4))(state.key)
+    key_next, k_day, k_upd, k_seed = (ks[:, i] for i in range(4))
+
+    new_budget = state.budget if budget is None else jnp.asarray(budget, dtype)
+    new_budget = dist.round_cents(new_budget).reshape((E,))
+    bids = dist.round_cents(
+        jnp.maximum(jnp.asarray(bids, dtype), 0.01)
+    ).reshape((E, K))
+
+    kw = state.kw
+    volumes = jax.vmap(
+        lambda k, m, s: jnp.minimum(
+            dist.nonneg_int_normal(k, m, s), cfg.max_volume
+        )
+    )(k_day, kw.vol_mean, kw.vol_std)
+
+    # one scalar stream seed per step; the kernel folds in (block, t, k)
+    seed = jax.random.randint(
+        k_seed[0], (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+    )
+    day = pallas_simulate_day(
+        cfg, seed, kw, bids, new_budget, volumes,
+        e_block=_pallas_e_block(E, e_block),
+        interpret=interpret,
+    )
+
+    profits = jnp.sum(day.profit, axis=1)
+    cumulative = state.cumulative_profit + profits
+    truncated = cumulative < -state.loss_threshold
+    new_day = state.day + 1
+    terminated = new_day >= state.max_days
+    obs = {
+        "impressions": day.impressions,
+        "buyside_clicks": day.buyside_clicks,
+        "cost": day.cost,
+        "sellside_conversions": day.sellside_conversions,
+        "revenue": day.revenue,
+        "cumulative_profit": cumulative[:, None],
+        "days_passed": new_day[:, None].astype(jnp.int32),
+    }
+    new_kw = jax.vmap(lambda k, s: update_keywords(cfg, k, s))(k_upd, kw)
+    new_state = EnvState(
+        kw=new_kw,
+        day=new_day,
+        cumulative_profit=cumulative,
+        budget=new_budget,
+        loss_threshold=state.loss_threshold,
+        max_days=state.max_days,
+        key=key_next,
+    )
+    ts = TimeStep(
+        obs=obs,
+        reward=profits,
+        terminated=terminated,
+        truncated=truncated,
+        outcomes=day,
+    )
+    return new_state, ts
+
+
 class VectorBiddingEnv:
     """Batched, jitted environment: E independent envs stepped in lockstep.
 
@@ -264,10 +353,20 @@ class VectorBiddingEnv:
             return env_step(cfg, state, bids, budget)
 
         self._reset = jax.jit(jax.vmap(_reset_one))
-        self._step = jax.jit(jax.vmap(_step_one))
-        self._step_nobudget = jax.jit(
-            jax.vmap(lambda s, b: env_step(cfg, s, b, None))
-        )
+        if cfg.day_kernel == "pallas":
+            self._step = jax.jit(
+                lambda s, bids, budget: vector_env_step_pallas(
+                    cfg, s, bids, budget
+                )
+            )
+            self._step_nobudget = jax.jit(
+                lambda s, bids: vector_env_step_pallas(cfg, s, bids, None)
+            )
+        else:
+            self._step = jax.jit(jax.vmap(_step_one))
+            self._step_nobudget = jax.jit(
+                jax.vmap(lambda s, b: env_step(cfg, s, b, None))
+            )
 
     def reset(self, key: Array):
         """Returns (state, obs) with a leading (num_envs,) batch axis.

@@ -61,8 +61,9 @@ def _day_kernel(
     # scalar prefetch
     seed_ref,  # (1,) i32 (SMEM)
     # inputs
-    params_ref,  # (8, K) f32 (SMEM): bid_cents, bid_loc, bid_scale, bctr,
-    #                                  sctr, rev_mean, rev_std, (pad)
+    params_ref,  # (8, E_BLK, K) f32 (VMEM): bid_cents, bid_loc, bid_scale,
+    #             bctr, sctr, rev_mean, rev_std, (pad) — per-env keyword
+    #             params (each env samples its own keyword set)
     n_auc_ref,  # (1, E_BLK, K) i32 (VMEM) — this sub-timestep's counts
     budget_ref,  # (E_BLK, 1) i32 cents (VMEM)
     # outputs (blocked per env-block; VMEM-resident across all (t, k))
@@ -101,24 +102,29 @@ def _day_kernel(
 
     e_blk = b_ref.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (e_blk, m), 1)
-    # select keyword k's auction counts via a one-hot matvec (dynamic lane
-    # indexing is not lowerable; this is an MXU op, exact for ints < 2^24)
+    # select keyword k's column via a one-hot matvec (dynamic lane indexing
+    # is not lowerable; this is an MXU op, exact for ints < 2^24 and for
+    # f32 params, since one-hot matvec performs no actual summation)
     kcol_k = jax.lax.broadcasted_iota(jnp.int32, (num_k, 1), 0)
     onehot_col = (kcol_k == k).astype(jnp.float32)  # (K, 1)
-    n_auc = jnp.dot(
-        n_auc_ref[0, :, :].astype(jnp.float32),
-        onehot_col,
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.int32)  # (E_BLK, 1)
+
+    def col(x_ek):  # (E_BLK, K) -> (E_BLK, 1), keyword k's column
+        return jnp.dot(
+            x_ek.astype(jnp.float32),
+            onehot_col,
+            preferred_element_type=jnp.float32,
+        )
+
+    n_auc = col(n_auc_ref[0, :, :]).astype(jnp.int32)  # (E_BLK, 1)
     active = lane < n_auc
 
-    bid_c = params_ref[0, k].astype(jnp.int32)
-    loc = params_ref[1, k]
-    scale = params_ref[2, k]
-    bctr = params_ref[3, k]
-    sctr = params_ref[4, k]
-    rev_mean = params_ref[5, k]
-    rev_std = params_ref[6, k]
+    bid_c = col(params_ref[0]).astype(jnp.int32)  # (E_BLK, 1)
+    loc = col(params_ref[1])
+    scale = col(params_ref[2])
+    bctr = col(params_ref[3])
+    sctr = col(params_ref[4])
+    rev_mean = col(params_ref[5])
+    rev_std = col(params_ref[6])
 
     # literal competitor bids: C = round(|Laplace(loc, scale)|, 2) in cents
     u_comp = _uniform((e_blk, m))
@@ -201,10 +207,10 @@ def pallas_simulate_day(
 ) -> DayOutcomes:
     """Run a full day for an E-env batch with the fused kernel.
 
-    ``seed``: int32 scalar; ``kw`` fields are (K,) (keyword set shared
-    across the batch — per-env keyword sets use the XLA path for now).
-    ``bids`` (K,), ``budget`` (E,), ``volumes`` (E, K) pre-sampled daily
-    volumes.
+    ``seed``: int32 scalar; ``kw`` fields are (K,) (shared keyword set) or
+    (E, K) (per-env keyword sets, the VectorBiddingEnv case). ``bids``
+    (K,) or (E, K); ``budget`` scalar or (E,); ``volumes`` (E, K)
+    pre-sampled daily volumes.
     """
     if cfg.kind is not KeywordKind.IMPLICIT or (
         cfg.competitor_model is not CompetitorModel.SINGLE_ABS_CENTS
@@ -220,19 +226,24 @@ def pallas_simulate_day(
     n_auctions = split_volume(cfg, volumes.astype(jnp.int32))  # (T, E, K)
     budget_c = jnp.round(jnp.asarray(budget, jnp.float32) * 100.0).astype(
         jnp.int32
-    )[:, None]
+    )
+    budget_c = jnp.broadcast_to(budget_c.reshape(-1), (E,))[:, None]
+
+    def as_ek(x):  # (K,) shared or (E, K) per-env -> (E, K) f32
+        return jnp.broadcast_to(jnp.asarray(x, jnp.float32), (E, K))
+
     params = jnp.stack(
         [
-            jnp.round(jnp.asarray(bids, jnp.float32) * 100.0),
-            jnp.asarray(kw.bid_loc, jnp.float32),
-            jnp.asarray(kw.bid_scale, jnp.float32),
-            jnp.asarray(kw.bctr, jnp.float32),
-            jnp.asarray(kw.sctr, jnp.float32),
-            jnp.asarray(kw.rev_mean, jnp.float32),
-            jnp.asarray(kw.rev_std, jnp.float32),
-            jnp.zeros((K,), jnp.float32),
+            jnp.round(as_ek(bids) * 100.0),
+            as_ek(kw.bid_loc),
+            as_ek(kw.bid_scale),
+            as_ek(kw.bctr),
+            as_ek(kw.sctr),
+            as_ek(kw.rev_mean),
+            as_ek(kw.rev_std),
+            jnp.zeros((E, K), jnp.float32),
         ]
-    )  # (8, K)
+    )  # (8, E, K)
 
     out_shape = [jax.ShapeDtypeStruct((E, K), jnp.int32) for _ in range(6)]
     out_spec = pl.BlockSpec(
@@ -243,7 +254,10 @@ def pallas_simulate_day(
         num_scalar_prefetch=1,
         grid=(E // e_block, T, K),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # params (8, K)
+            pl.BlockSpec(
+                (8, e_block, K), lambda e, t, k, _s: (0, e, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(
                 (1, e_block, K), lambda e, t, k, _s: (t, e, 0),
                 memory_space=pltpu.VMEM,

@@ -2,7 +2,12 @@
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/validate_pallas.py [E] [days]
 """
-import sys, time
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
 import jax, jax.numpy as jnp, numpy as np
 from adcraft_tpu.config import CompetitorModel, EnvConfig, KeywordKind
 from adcraft_tpu.keywords import make_keyword_state

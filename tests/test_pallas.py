@@ -80,3 +80,38 @@ def test_pallas_kernel_rejects_unsupported_models():
             volumes=jnp.ones((8, 4), jnp.int32),
             interpret=INTERP,
         )
+
+
+@pytest.mark.unit
+def test_pallas_vector_env_step_interpret():
+    """Batched env step through the pallas path: per-env keyword params,
+    state bookkeeping (day/cumulative/drift) must match env semantics."""
+    from adcraft_tpu.env import VectorBiddingEnv, vector_env_step_pallas
+    from adcraft_tpu.quantiles import simple_experiment_table
+
+    E = 8
+    cfg = CFG.replace(day_kernel="pallas")
+    table = simple_experiment_table(16, 0.5)
+    venv = VectorBiddingEnv(cfg, E, table=table)
+    state, obs = venv.reset(jax.random.PRNGKey(0))
+    assert obs["impressions"].shape == (E, cfg.num_keywords)
+    bids = jnp.full((E, cfg.num_keywords), 1.0)
+    new_state, ts = vector_env_step_pallas(
+        cfg, state, bids, None, interpret=INTERP
+    )
+    assert ts.reward.shape == (E,)
+    assert np.all(np.asarray(new_state.day) == 1)
+    assert np.all(np.asarray(ts.obs["days_passed"]) == 1)
+    np.testing.assert_allclose(
+        np.asarray(new_state.cumulative_profit), np.asarray(ts.reward)
+    )
+    imp = np.asarray(ts.outcomes.impressions)
+    clicks = np.asarray(ts.outcomes.buyside_clicks)
+    convs = np.asarray(ts.outcomes.sellside_conversions)
+    assert np.all(clicks <= imp)
+    assert np.all(convs <= clicks)
+    assert np.all(imp <= np.asarray(ts.outcomes.volume))
+    # shared budget respected per env
+    assert np.all(np.asarray(ts.outcomes.cost).sum(axis=1) <= cfg.budget + 1e-6)
+    # per-env params actually differ (each env sampled its own keywords)
+    assert len(np.unique(np.asarray(state.kw.bid_loc))) > cfg.num_keywords
