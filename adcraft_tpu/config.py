@@ -120,11 +120,15 @@ class EnvConfig:
     # jax_enable_x64. Default float32 for TPU speed.
     use_x64: bool = False
 
-    # budget-threading implementation: "jacobi" (parallel fixed point,
-    # default — one O(K*M) sweep per iteration, typically 2-4 iterations)
-    # or "scan" (sequential over keywords; reference shape, used for
-    # cross-validation). Bit-identical results (tests/test_step.py).
-    gate_mode: str = "jacobi"
+    # budget-threading implementation — all bit-identical
+    # (tests/test_step.py cross-checks):
+    #   "auto"   (default) "lazy" for cents-quantized cost models,
+    #            "jacobi" otherwise;
+    #   "lazy"   bulk full/zero classification + one O(M) lane resolution
+    #            per partial cell (nonneg costs only);
+    #   "jacobi" parallel fixed point, one O(K*M) sweep per iteration;
+    #   "scan"   sequential over cells; reference shape, cross-validation.
+    gate_mode: str = "auto"
 
     # budget-gate granularity: "per_t" (default) runs one gate per
     # sub-timestep inside a T-step lax.scan — Jacobi chains stay short

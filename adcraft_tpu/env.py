@@ -276,7 +276,7 @@ def vector_env_step_pallas(
     seed = jax.random.randint(
         k_seed[0], (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
     )
-    day = pallas_simulate_day(
+    day, _gate_converged = pallas_simulate_day(
         cfg, seed, kw, bids, new_budget, volumes,
         e_block=_pallas_e_block(E, e_block),
         interpret=interpret,

@@ -1,17 +1,27 @@
 """Fused Pallas day kernel.
 
-The XLA step is HBM-bandwidth bound: every sub-timestep materializes
-(E, K, M) cost/revenue/flag tensors, and the budget gate re-reads the
-prefix tensor per Jacobi sweep (profiled ~8 ms per sub-timestep at
-E=1024, ~80% of step time in those passes). This kernel runs the ENTIRE
-day in VMEM:
+The XLA step is dominated by software costs that scale with the draw
+count: threefry bit generation, HBM materialization of the per-cell
+prefix tables, and the budget-gate passes over them (scripts/tpu_probe.py
+decomposition: at 4096 envs the gate-free sampling phase alone is ~450 ms,
+the gate ~400 ms). This kernel runs the ENTIRE day in VMEM:
 
-* grid (E/E_BLK, T, K) — the TPU grid is sequential, so the shared
-  depleting budget threads through (t, k) cells in exactly the reference's
-  order (bidding_simulation.py:216-233) via VMEM scratch carries;
-* per cell, all sampling happens in-register from the hardware PRNG
+* grid (E/E_BLK, T) — the TPU grid is sequential, so the shared depleting
+  budget threads through sub-timesteps in exactly the reference's order
+  (bidding_simulation.py:216-233) via VMEM scratch carries; all K keywords
+  of a sub-timestep are processed vectorized in one invocation.
+* all sampling happens in-register from the hardware PRNG
   (pltpu.prng_random_bits): literal per-auction competitor bids, click
-  coinflips, conversion coinflips, Box-Muller revenue draws;
+  coinflips, conversion coinflips, Box-Muller revenue draws.
+* the within-sub-timestep budget threading across keywords (priority by
+  keyword order, break-at-first-overspend within a keyword,
+  bidding_simulation.py:97-104,216-233) is solved by a fixed number of
+  unrolled Jacobi sweeps over the K cells — exact once converged (the
+  per-env ``gate_converged`` output certifies it; sweeps needed =
+  #partial-accept cells + 2, typically <= 3) — using lane-masked sums
+  instead of gathers and lower-triangular MXU matvecs for the K-axis
+  cumulative sums (Mosaic has no native cumsum; cents stay < 2^24 so f32
+  matmuls are exact).
 * HBM traffic is only: per-cell auction counts in, per-keyword day
   aggregates out (output blocks stay VMEM-resident for a whole env block).
 
@@ -20,8 +30,8 @@ experiment configuration). Other models use the XLA path.
 
 The kernel is distribution-exact but NOT stream-identical to the XLA
 path (different PRNG); it is validated by moment tests against the XLA
-path and by invariant checks (tests/test_pallas.py; statistical
-validation needs a real TPU — the interpreter stubs the hardware PRNG).
+path on real TPU (scripts/validate_pallas.py) and by invariant checks
+(tests/test_pallas.py; the interpreter stubs the hardware PRNG).
 """
 
 from __future__ import annotations
@@ -44,9 +54,15 @@ _INV24 = 1.0 / (1 << 24)
 
 
 def _uniform(shape) -> Array:
-    """f32 uniforms in (0, 1) from hardware random bits."""
+    """f32 uniforms in (0, 1) from hardware random bits.
+
+    ``prng_random_bits`` returns int32 (signed!); take the LOW 24 bits via
+    a mask — a right shift would be arithmetic and sign-extend half the
+    draws into the clip bounds, silently skewing every distribution (this
+    is invisible in interpret mode, which stubs the bits to zero).
+    """
     bits = pltpu.prng_random_bits(shape)
-    u = (bits >> jnp.uint32(8)).astype(jnp.float32) * _INV24
+    u = (bits & jnp.int32(0x00FFFFFF)).astype(jnp.float32) * _INV24
     # keep strictly inside (0,1) for icdf logs
     return jnp.clip(u, 1e-7, 1.0 - 1e-7)
 
@@ -55,6 +71,16 @@ def _laplace_icdf(u, loc, scale):
     lo = jnp.log(2.0 * u)
     hi = -jnp.log(2.0 * (1.0 - u))
     return loc + scale * jnp.where(u < 0.5, lo, hi)
+
+
+def _cumsum0(x: Array) -> Array:
+    """Inclusive cumsum along (untiled) axis 0 by log-doubling shifts."""
+    m = x.shape[0]
+    d = 1
+    while d < m:
+        x = x + jnp.concatenate([jnp.zeros_like(x[:d]), x[:-d]], axis=0)
+        d *= 2
+    return x
 
 
 def _day_kernel(
@@ -66,30 +92,26 @@ def _day_kernel(
     #             params (each env samples its own keyword set)
     n_auc_ref,  # (1, E_BLK, K) i32 (VMEM) — this sub-timestep's counts
     budget_ref,  # (E_BLK, 1) i32 cents (VMEM)
-    # outputs (blocked per env-block; VMEM-resident across all (t, k))
+    # outputs (blocked per env-block; VMEM-resident across all t)
     imp_ref,  # (E_BLK, K) i32
     clicks_ref,
     cost_c_ref,
     convs_ref,
     rev_c_ref,
     elig_ref,
+    conv_flag_ref,  # (E_BLK, 1) i32 — 1 iff the gate converged every t
     # scratch
     b_ref,  # (E_BLK, 1) i32 — remaining budget cents
     broken_ref,  # (E_BLK, 1) i32
     *,
     m: int,
-    num_k: int,
+    sweeps: int,
 ):
     e = pl.program_id(0)
     t = pl.program_id(1)
-    k = pl.program_id(2)
+    pltpu.prng_seed(seed_ref[0], e * pl.num_programs(1) + t)
 
-    # deterministic stream per (block, cell) — Mosaic allows at most two
-    # seed words, so the cell coordinate packs into one
-    cell = (e * pl.num_programs(1) + t) * pl.num_programs(2) + k
-    pltpu.prng_seed(seed_ref[0], cell)
-
-    @pl.when((t == 0) & (k == 0))
+    @pl.when(t == 0)
     def _():
         b_ref[:, :] = budget_ref[:, :]
         broken_ref[:, :] = jnp.zeros_like(broken_ref)
@@ -99,100 +121,96 @@ def _day_kernel(
         convs_ref[:, :] = jnp.zeros_like(convs_ref)
         rev_c_ref[:, :] = jnp.zeros_like(rev_c_ref)
         elig_ref[:, :] = jnp.zeros_like(elig_ref)
+        conv_flag_ref[:, :] = jnp.ones_like(conv_flag_ref)
 
-    e_blk = b_ref.shape[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (e_blk, m), 1)
-    # select keyword k's column via a one-hot matvec (dynamic lane indexing
-    # is not lowerable; this is an MXU op, exact for ints < 2^24 and for
-    # f32 params, since one-hot matvec performs no actual summation)
-    kcol_k = jax.lax.broadcasted_iota(jnp.int32, (num_k, 1), 0)
-    onehot_col = (kcol_k == k).astype(jnp.float32)  # (K, 1)
+    e_blk, K = imp_ref.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (m, e_blk, K), 0)
+    n_auc = n_auc_ref[0]  # (E_BLK, K)
+    active = lane < n_auc[None]
 
-    def col(x_ek):  # (E_BLK, K) -> (E_BLK, 1), keyword k's column
-        return jnp.dot(
-            x_ek.astype(jnp.float32),
-            onehot_col,
-            preferred_element_type=jnp.float32,
-        )
-
-    n_auc = col(n_auc_ref[0, :, :]).astype(jnp.int32)  # (E_BLK, 1)
-    active = lane < n_auc
-
-    bid_c = col(params_ref[0]).astype(jnp.int32)  # (E_BLK, 1)
-    loc = col(params_ref[1])
-    scale = col(params_ref[2])
-    bctr = col(params_ref[3])
-    sctr = col(params_ref[4])
-    rev_mean = col(params_ref[5])
-    rev_std = col(params_ref[6])
+    bid_c = params_ref[0].astype(jnp.int32)  # (E_BLK, K)
+    loc = params_ref[1]
+    scale = params_ref[2]
+    bctr = params_ref[3]
+    sctr = params_ref[4]
+    rev_mean = params_ref[5]
+    rev_std = params_ref[6]
 
     # literal competitor bids: C = round(|Laplace(loc, scale)|, 2) in cents
-    u_comp = _uniform((e_blk, m))
+    u_comp = _uniform((m, e_blk, K))
     c_cents = jnp.round(
-        100.0 * jnp.abs(_laplace_icdf(u_comp, loc, scale))
+        100.0 * jnp.abs(_laplace_icdf(u_comp, loc[None], scale[None]))
     ).astype(jnp.int32)
-    won = active & (c_cents < bid_c)
+    won = active & (c_cents < bid_c[None])
 
     # click coinflips on won auctions (u <= bctr, synthetic_kw_helpers.py:73-77)
-    u_click = _uniform((e_blk, m))
-    clicked = won & (u_click <= bctr)
-
-    # budget gating: accept clicked lanes while every clicked running sum
-    # stays within the keyword's starting budget (break-at-first-overspend,
-    # bidding_simulation.py:97-104). The first clicked lane whose running
-    # sum overshoots kills every later lane.
-    b = b_ref[:, :]  # (E_BLK, 1)
+    u_click = _uniform((m, e_blk, K))
+    clicked = won & (u_click <= bctr[None])
     click_cost = jnp.where(clicked, c_cents, 0)
-    # lane prefix sums via a lower-triangular matmul (Mosaic has no cumsum;
-    # this rides the MXU and is exact: cents values stay < 2^24 in f32)
-    ii = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
-    tril = (ii <= jj).astype(jnp.float32)
-    prefix = jnp.dot(
-        click_cost.astype(jnp.float32), tril, preferred_element_type=jnp.float32
-    ).astype(jnp.int32)
-    viol = clicked & (prefix > b)
-    first_viol = jnp.min(
-        jnp.where(viol, lane, jnp.int32(m)), axis=1, keepdims=True
-    )
-    accepted = clicked & (lane < first_viol)
+    prefix = _cumsum0(click_cost)  # running clicked-cost sums per cell
+    n_clicks = jnp.sum(clicked.astype(jnp.int32), axis=0)
+    s_full = jnp.sum(click_cost, axis=0)
 
-    sim = broken_ref[:, :] == 0  # (E_BLK, 1)
-    acc_sim = accepted & sim
-    spend = jnp.sum(jnp.where(acc_sim, c_cents, 0), axis=1, keepdims=True)
-    n_acc = jnp.sum(acc_sim.astype(jnp.int32), axis=1, keepdims=True)
+    # within-sub-timestep budget threading across keywords: unrolled
+    # Jacobi sweeps (exact at the fixed point; costs are nonneg cents so a
+    # cell's acceptance is "clicked lanes whose running sum stays <= its
+    # start budget", a pure mask — no gathers)
+    b0 = b_ref[:, :]  # (E_BLK, 1)
+    broken0 = broken_ref[:, :] != 0  # (E_BLK, 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    l_strict = (kk < jj).astype(jnp.float32)  # excl-cumsum matvec over K
+
+    def sweep(spend):
+        excl = jnp.dot(
+            spend.astype(jnp.float32), l_strict,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+        B = b0 - excl  # (E_BLK, K) start budget per cell
+        acc_mask = clicked & (prefix <= B[None])
+        p2 = jnp.sum(acc_mask.astype(jnp.int32), axis=0)
+        s2 = jnp.sum(jnp.where(acc_mask, click_cost, 0), axis=0)
+        nb = B - s2
+        # sim: no break strictly before the cell, and day not broken
+        breaks_before = jnp.dot(
+            (nb <= 0).astype(jnp.float32), l_strict,
+            preferred_element_type=jnp.float32,
+        ) > 0.0
+        sim = (~broken0) & (~breaks_before)
+        return jnp.where(sim, s2, 0), jnp.where(sim, p2, 0), sim, B, nb
+
+    spend = jnp.where(broken0, 0, s_full)
+    prev = spend
+    for _ in range(sweeps):
+        prev = spend
+        spend, p, sim, B, nb = sweep(spend)
+    conv_ok = jnp.all(spend == prev, axis=1, keepdims=True)
+    conv_flag_ref[:, :] = conv_flag_ref[:, :] * conv_ok.astype(jnp.int32)
+
+    acc = clicked & (prefix <= B[None]) & sim[None]
 
     # conversions + revenue on accepted clicks
-    u_conv = _uniform((e_blk, m))
-    conv = acc_sim & (u_conv <= sctr)
-    u1 = _uniform((e_blk, m))
-    u2 = _uniform((e_blk, m))
+    u_conv = _uniform((m, e_blk, K))
+    conv = acc & (u_conv <= sctr[None])
+    u1 = _uniform((m, e_blk, K))
+    u2 = _uniform((m, e_blk, K))
     normal = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
-    rev = jnp.maximum(rev_mean + rev_std * normal, 0.01)
-    rev_cents = jnp.round(100.0 * rev).astype(jnp.int32)
-    rev_sum = jnp.sum(jnp.where(conv, rev_cents, 0), axis=1, keepdims=True)
-    n_conv = jnp.sum(conv.astype(jnp.int32), axis=1, keepdims=True)
+    rev = jnp.maximum(rev_mean[None] + rev_std[None] * normal, 0.01)
+    rev_cents = jnp.where(conv, jnp.round(100.0 * rev).astype(jnp.int32), 0)
 
-    imps = jnp.sum((won & sim).astype(jnp.int32), axis=1, keepdims=True)
-
-    # accumulate into the resident (E_BLK, K) aggregates via a one-hot
-    # column mask (avoids dynamic minor-dim writes)
-    kcol = jax.lax.broadcasted_iota(jnp.int32, (1, num_k), 1)
-    onehot = (kcol == k).astype(jnp.int32)  # (1, K)
-    imp_ref[:, :] += imps * onehot
-    clicks_ref[:, :] += n_acc * onehot
-    cost_c_ref[:, :] += spend * onehot
-    convs_ref[:, :] += n_conv * onehot
-    rev_c_ref[:, :] += rev_sum * onehot
-    elig_ref[:, :] += jnp.where((imps >= 1) & sim, n_auc, 0) * onehot
+    imps = jnp.where(sim, jnp.sum((won).astype(jnp.int32), axis=0), 0)
+    imp_ref[:, :] += imps
+    clicks_ref[:, :] += p
+    cost_c_ref[:, :] += spend
+    convs_ref[:, :] += jnp.sum(conv.astype(jnp.int32), axis=0)
+    rev_c_ref[:, :] += jnp.sum(rev_cents, axis=0)
+    elig_ref[:, :] += jnp.where(sim & (imps >= 1), n_auc, 0)
 
     # budget + break carry (reference: subtract then break on <= 0,
     # bidding_simulation.py:225-233)
-    nb = b - spend
-    b_ref[:, :] = nb
-    broken_ref[:, :] = jnp.where(
-        (broken_ref[:, :] != 0) | (nb <= 0), jnp.int32(1), jnp.int32(0)
-    )
+    b_ref[:, :] = b0 - jnp.sum(spend, axis=1, keepdims=True)
+    day_broke = jnp.any(sim & (nb <= 0), axis=1, keepdims=True)
+    broken_ref[:, :] = (broken0 | day_broke).astype(jnp.int32)
 
 
 def pallas_simulate_day(
@@ -203,14 +221,21 @@ def pallas_simulate_day(
     budget: Array,
     volumes: Array,
     e_block: int = 256,
+    sweeps: int = 8,
     interpret: bool = False,
-) -> DayOutcomes:
+) -> Tuple[DayOutcomes, Array]:
     """Run a full day for an E-env batch with the fused kernel.
 
     ``seed``: int32 scalar; ``kw`` fields are (K,) (shared keyword set) or
     (E, K) (per-env keyword sets, the VectorBiddingEnv case). ``bids``
     (K,) or (E, K); ``budget`` scalar or (E,); ``volumes`` (E, K)
     pre-sampled daily volumes.
+
+    Returns (DayOutcomes, gate_converged (E,) bool). ``gate_converged``
+    certifies the unrolled budget gate reached its fixed point in every
+    sub-timestep (it converges in #partial-accept-cells + 2 sweeps;
+    ``sweeps=8`` leaves a wide margin — a False flag means results for
+    that env are untrusted and ``sweeps`` should be raised).
     """
     if cfg.kind is not KeywordKind.IMPLICIT or (
         cfg.competitor_model is not CompetitorModel.SINGLE_ABS_CENTS
@@ -246,33 +271,37 @@ def pallas_simulate_day(
     )  # (8, E, K)
 
     out_shape = [jax.ShapeDtypeStruct((E, K), jnp.int32) for _ in range(6)]
+    out_shape.append(jax.ShapeDtypeStruct((E, 1), jnp.int32))
     out_spec = pl.BlockSpec(
-        (e_block, K), lambda e, t, k, _s: (e, 0), memory_space=pltpu.VMEM
+        (e_block, K), lambda e, t, _s: (e, 0), memory_space=pltpu.VMEM
     )
-    kernel = functools.partial(_day_kernel, m=m, num_k=K)
+    flag_spec = pl.BlockSpec(
+        (e_block, 1), lambda e, t, _s: (e, 0), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(_day_kernel, m=m, sweeps=sweeps)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(E // e_block, T, K),
+        grid=(E // e_block, T),
         in_specs=[
             pl.BlockSpec(
-                (8, e_block, K), lambda e, t, k, _s: (0, e, 0),
+                (8, e_block, K), lambda e, t, _s: (0, e, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, e_block, K), lambda e, t, k, _s: (t, e, 0),
+                (1, e_block, K), lambda e, t, _s: (t, e, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (e_block, 1), lambda e, t, k, _s: (e, 0), memory_space=pltpu.VMEM
+                (e_block, 1), lambda e, t, _s: (e, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=[out_spec] * 6,
+        out_specs=[out_spec] * 6 + [flag_spec],
         scratch_shapes=[
             pltpu.VMEM((e_block, 1), jnp.int32),
             pltpu.VMEM((e_block, 1), jnp.int32),
         ],
     )
-    imp, clicks, cost_c, convs, rev_c, elig = pl.pallas_call(
+    imp, clicks, cost_c, convs, rev_c, elig, conv_flag = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -286,7 +315,7 @@ def pallas_simulate_day(
     dtype = cfg.money_dtype
     cost = cost_c.astype(dtype) / 100.0
     revenue = rev_c.astype(dtype) / 100.0
-    return DayOutcomes(
+    day = DayOutcomes(
         impressions=imp,
         buyside_clicks=clicks,
         cost=cost,
@@ -296,3 +325,4 @@ def pallas_simulate_day(
         volume=volumes.astype(jnp.int32),
         eligible_volume=elig,
     )
+    return day, conv_flag[:, 0] > 0

@@ -208,6 +208,117 @@ def _gate_keywords_jacobi(
     return (b_out, broken_out), (p, spend, sim)
 
 
+def _gate_keywords_lazy(
+    budget0: Array,
+    broken0: Array,
+    prefix: Array,
+    n_clicks: Array,
+    max_iter: int,
+) -> Tuple[Tuple[Array, Array], Tuple[Array, Array, Array]]:
+    """Budget threading for NONDECREASING prefix columns (cents models).
+
+    Same forward substitution as ``_gate_keywords_jacobi``, restructured
+    around the observation that with non-negative costs a cell's response
+    to its start budget B falls into three bulk-checkable classes:
+
+      full    s_k <= B          accept all n_k clicks, spend s_k
+      zero    prefix_k[1] > B   accept nothing (monotone prefix)
+      partial otherwise         budget lands strictly inside the cell
+
+    Per iteration the classes are evaluated for ALL cells with O(K) scalar
+    math (s_k and the first-click cost are precomputed once), and only the
+    FIRST partial cell is lane-resolved (O(M)). Exact after
+    (#partial cells before the break) + 1 iterations — typically one day
+    has at most one partial cell (where the budget runs out) — versus one
+    O(K*M) sweep per iteration for Jacobi. Bit-identical outputs
+    (tests/test_step.py cross-checks all gates).
+    """
+    m1, K = prefix.shape
+    m = m1 - 1
+    lane = jnp.arange(m)
+    karange = jnp.arange(K)
+    zero = jnp.zeros((), prefix.dtype)
+    s_full = jnp.take_along_axis(prefix, n_clicks[None, :], axis=0)[0]
+    first_cost = prefix[1] if m >= 1 else jnp.zeros((K,), prefix.dtype)
+
+    # Invariant used throughout (proved by induction over cells within one
+    # state snapshot): with B = budget0 - exclusive-cumsum(spend), every
+    # cell before the first "bad" cell — one that is neither full
+    # (s <= B, value independent of B), zero (first cost > B), nor
+    # lane-resolved against exactly this B — holds its exact forward-
+    # substitution value. One sweep reassigns class values, lane-resolves
+    # the first bad cell, and exits when (a) the state is a fixed point
+    # (=> no bad cells), or (b) the prefix before the first bad cell is
+    # stable and breaks the budget there (later cells are masked anyway).
+    def body(carry):
+        spend, p, fixed, bres, _done, it = carry
+        excl = jnp.concatenate([zero[None], jnp.cumsum(spend)[:-1]])
+        B = budget0 - excl
+        okres = fixed & (bres == B)
+        okfull = s_full <= B
+        okzero = first_cost > B
+        spend2 = jnp.where(
+            okres, spend, jnp.where(okfull, s_full, jnp.where(okzero, zero, spend))
+        )
+        p2 = jnp.where(
+            okres, p, jnp.where(okfull, n_clicks, jnp.where(okzero, 0, p))
+        )
+        bad = ~(okres | okfull | okzero)
+        j = jnp.min(jnp.where(bad, karange, K))
+        jc = jnp.minimum(j, K - 1)
+        # lane-resolve the first bad cell against its start budget
+        col = jax.lax.dynamic_slice(prefix, (0, jc), (m1, 1))[:, 0]
+        Bj = jnp.take(B, jc)
+        okj = (col[1:] <= Bj) & (lane < jnp.take(n_clicks, jc))
+        pj = jnp.sum(okj.astype(jnp.int32)).astype(jnp.int32)
+        hit = (karange == j)
+        spend2 = jnp.where(hit, col[pj], spend2)
+        p2 = jnp.where(hit, pj, p2)
+        fixed2 = fixed | hit
+        bres2 = jnp.where(hit, Bj, bres)
+
+        changed = (
+            jnp.any(spend2 != spend)
+            | jnp.any(p2 != p)
+            | jnp.any(fixed2 != fixed)
+            | jnp.any(bres2 != bres)
+        )
+        # early exit: prefix before j unchanged this sweep (so exact) and
+        # the budget breaks inside it — everything after is masked
+        stable_pre = ~jnp.any(((spend2 != spend) | (p2 != p)) & (karange < j))
+        b_path = budget0 - jnp.cumsum(spend2)
+        first_brk = jnp.min(jnp.where(b_path <= 0, karange, K))
+        done = ~changed | (stable_pre & (first_brk < j))
+        return spend2, p2, fixed2, bres2, done, it + 1
+
+    def cond(carry):
+        _s, _p, _f, _b, done, it = carry
+        return ~done & (it < max_iter)
+
+    spend, p, _f, _b, _done, _it = lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.zeros((K,), prefix.dtype),
+            jnp.zeros((K,), jnp.int32),
+            jnp.zeros((K,), bool),
+            jnp.zeros((K,), prefix.dtype),
+            jnp.asarray(broken0),
+            jnp.asarray(0, jnp.int32),
+        ),
+    )
+    # identical epilogue to the Jacobi gate: mask cells at/after the break
+    nb = budget0 - jnp.cumsum(spend)
+    alive = jnp.cumprod((nb > 0).astype(jnp.int32))
+    sim = ~broken0 & jnp.concatenate(
+        [jnp.ones((1,), bool), alive[:-1].astype(bool)]
+    )
+    spend = jnp.where(sim, spend, zero)
+    p = jnp.where(sim, p, 0)
+    b_path = budget0 - jnp.cumsum(spend)
+    return (b_path[-1], broken0 | jnp.any(b_path <= 0)), (p, spend, sim)
+
+
 def _cell_tables(cfg: EnvConfig, k_cells, kw, bids, t, n_auc_t, m: int, dtype):
     """Sample one sub-timestep's draw tables, prefix-summed for gating.
 
@@ -297,8 +408,18 @@ def simulate_day(
     volume = jnp.minimum(volume, cfg.max_volume)
     n_auctions = split_volume(cfg, volume)  # (T, K)
 
+    gate_mode = cfg.gate_mode
+    if gate_mode == "auto":
+        gate_mode = "lazy" if cents else "jacobi"
+    if gate_mode == "lazy" and not cents:
+        gate_mode = "jacobi"  # lazy needs nondecreasing (nonneg-cost) prefixes
+
     def gate(b, broken, prefix, n_clicks):
-        if cfg.gate_mode == "jacobi":
+        if gate_mode == "lazy":
+            return _gate_keywords_lazy(
+                b, broken, prefix, n_clicks, max_iter=prefix.shape[1] + 2
+            )
+        if gate_mode == "jacobi":
             return _gate_keywords_jacobi(
                 b, broken, prefix, n_clicks, max_iter=prefix.shape[1] + 2
             )

@@ -46,6 +46,7 @@ def main() -> None:
         max_volume=576,  # covers round(N(128, 1+64)) draws
         max_days=60,
         day_kernel=os.environ.get("BENCH_KERNEL", "xla"),
+        prng_impl=os.environ.get("BENCH_PRNG", "threefry2x32"),
     )
     table = simple_experiment_table(128, 0.8)
     venv = VectorBiddingEnv(cfg, NUM_ENVS, table=table)

@@ -48,14 +48,17 @@ if MODE != "xla":
         lambda seed: pallas_simulate_day(cfg, seed, kw, bids, budget, volumes)
     )
     t0 = time.perf_counter()
-    day_p = jax.tree.map(np.asarray, pallas_fn(jnp.asarray(1, jnp.int32)))
-    print(f"pallas compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
+    day_p, conv = jax.tree.map(np.asarray, pallas_fn(jnp.asarray(1, jnp.int32)))
+    print(f"pallas compile+run: {time.perf_counter()-t0:.1f}s "
+          f"(gate converged: {bool(conv.all())})", flush=True)
     acc = [day_p]
     t0 = time.perf_counter()
     for d in range(DAYS):
-        acc.append(
-            jax.tree.map(np.asarray, pallas_fn(jnp.asarray(2 + d, jnp.int32)))
+        day_d, conv_d = jax.tree.map(
+            np.asarray, pallas_fn(jnp.asarray(2 + d, jnp.int32))
         )
+        assert conv_d.all(), "gate did not converge"
+        acc.append(day_d)
     dt_p = (time.perf_counter() - t0) / DAYS
     print(
         f"pallas: {dt_p*1000:.1f} ms/day-step -> {E/dt_p:,.0f} env-steps/s",

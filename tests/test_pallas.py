@@ -47,7 +47,7 @@ def kwstate():
 def test_pallas_kernel_interpret_runs():
     E, K = 8, 4
     volumes = jnp.tile(jnp.asarray([[48, 24, 60, 12]], jnp.int32), (E, 1))
-    day = pallas_simulate_day(
+    day, conv = pallas_simulate_day(
         CFG,
         seed=jnp.asarray(7, jnp.int32),
         kw=kwstate(),
@@ -58,6 +58,7 @@ def test_pallas_kernel_interpret_runs():
         interpret=INTERP,
     )
     assert day.impressions.shape == (E, K)
+    assert conv.shape == (E,) and bool(np.all(np.asarray(conv)))
     # interpreter PRNG = all-zero bits -> u clipped to 1e-7: every
     # competitor bid |icdf(1e-7)| is large positive -> C > bid -> no wins
     np.testing.assert_array_equal(np.asarray(day.impressions), 0)

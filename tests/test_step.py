@@ -205,16 +205,17 @@ def test_jacobi_gate_matches_scan_gate(seed, budget):
     )
     key = jax.random.PRNGKey(seed)
     outs = {}
-    for mode in ("scan", "jacobi"):
+    for mode in ("scan", "jacobi", "lazy"):
         cfg = IMPLICIT_CFG.replace(gate_mode=mode)
         outs[mode] = jax.tree.map(
             np.asarray,
             _jit_day(cfg)(key, kw, bids, jnp.asarray(budget, jnp.float32)),
         )
-    for field, a in outs["scan"]._asdict().items():
-        np.testing.assert_array_equal(
-            a, getattr(outs["jacobi"], field), err_msg=field
-        )
+    for other in ("jacobi", "lazy"):
+        for field, a in outs["scan"]._asdict().items():
+            np.testing.assert_array_equal(
+                a, getattr(outs[other], field), err_msg=f"{other}:{field}"
+            )
 
 
 @pytest.mark.unit
@@ -241,6 +242,37 @@ def test_global_gate_matches_per_t_gate(seed, budget):
         np.testing.assert_array_equal(
             a, getattr(outs["global"], field), err_msg=field
         )
+
+
+@pytest.mark.unit
+def test_lazy_gate_fuzz_vs_scan_gate():
+    """Randomized adversarial gate inputs (zero costs, zero budgets,
+    break-at-every-position): lazy must equal the sequential scan gate
+    bit-for-bit."""
+    from functools import partial
+
+    from adcraft_tpu.step import _gate_keywords, _gate_keywords_lazy
+
+    K, m = 16, 4
+    scan_j = jax.jit(_gate_keywords)
+    lazy_j = jax.jit(partial(_gate_keywords_lazy, max_iter=K + 2))
+    rng = np.random.default_rng(7)
+    for trial in range(200):
+        n = rng.integers(0, m + 1, K)
+        costs = rng.integers(0, 5, (m, K))
+        prefix = np.concatenate(
+            [np.zeros((1, K), np.int64), np.cumsum(costs, 0)], 0
+        )
+        args = (
+            jnp.asarray(int(rng.integers(-1, 40)), jnp.int32),
+            jnp.asarray(bool(rng.integers(0, 2))),
+            jnp.asarray(prefix, jnp.int32),
+            jnp.asarray(n, jnp.int32),
+        )
+        a = jax.tree.map(np.asarray, scan_j(*args))
+        b = jax.tree.map(np.asarray, lazy_j(*args))
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_array_equal(x, y, err_msg=f"trial {trial}")
 
 
 @pytest.mark.unit
