@@ -15,10 +15,11 @@ the gate ~400 ms). This kernel runs the ENTIRE day in VMEM:
   coinflips, conversion coinflips, Box-Muller revenue draws.
 * the within-sub-timestep budget threading across keywords (priority by
   keyword order, break-at-first-overspend within a keyword,
-  bidding_simulation.py:97-104,216-233) is solved by a fixed number of
-  unrolled Jacobi sweeps over the K cells — exact once converged (the
-  per-env ``gate_converged`` output certifies it; sweeps needed =
-  #partial-accept cells + 2, typically <= 3) — using lane-masked sums
+  bidding_simulation.py:97-104,216-233) is solved by an in-kernel
+  while_loop of Jacobi sweeps over the K cells, run to its fixed point —
+  exact, like the XLA gates (forward substitution converges in <= K
+  sweeps; typically 2-4; the ``gate_converged`` output certifies the cap
+  was never hit on hardware) — using lane-masked sums
   instead of gathers and lower-triangular MXU matvecs for the K-axis
   cumulative sums (Mosaic has no native cumsum; cents stay < 2^24 so f32
   matmuls are exact).
@@ -105,7 +106,6 @@ def _day_kernel(
     broken_ref,  # (E_BLK, 1) i32
     *,
     m: int,
-    sweeps: int,
 ):
     e = pl.program_id(0)
     t = pl.program_id(1)
@@ -179,13 +179,29 @@ def _day_kernel(
         sim = (~broken0) & (~breaks_before)
         return jnp.where(sim, s2, 0), jnp.where(sim, p2, 0), sim, B, nb
 
-    spend = jnp.where(broken0, 0, s_full)
-    prev = spend
-    for _ in range(sweeps):
-        prev = spend
-        spend, p, sim, B, nb = sweep(spend)
-    conv_ok = jnp.all(spend == prev, axis=1, keepdims=True)
-    conv_flag_ref[:, :] = conv_flag_ref[:, :] * conv_ok.astype(jnp.int32)
+    def w_cond(carry):
+        spend_c, prev_c, it = carry
+        return jnp.any(spend_c != prev_c) & (it < K + 2)
+
+    def w_body(carry):
+        spend_c, _prev, it = carry
+        s2, _p2, _sim2, _B2, _nb2 = sweep(spend_c)
+        return s2, spend_c, it + 1
+
+    spend0 = jnp.where(broken0, 0, s_full)
+    s1, _p1, _sim1, _B1, _nb1 = sweep(spend0)
+    spend, _prev, iters = jax.lax.while_loop(
+        w_cond, w_body, (s1, spend0, jnp.asarray(1, jnp.int32))
+    )
+    # exit requires sweep(prev) == prev == spend: a true fixed point, so
+    # this final evaluation is a no-op that yields the consistent
+    # (p, sim, B, nb) tuple for output assembly. Forward substitution
+    # makes the first i cells exact after i sweeps, so the K+2 cap is
+    # unreachable — the flag records that on actual hardware.
+    spend, p, sim, B, nb = sweep(spend)
+    conv_flag_ref[:, :] = conv_flag_ref[:, :] * (iters < K + 2).astype(
+        jnp.int32
+    )
 
     acc = clicked & (prefix <= B[None]) & sim[None]
 
@@ -220,8 +236,7 @@ def pallas_simulate_day(
     bids: Array,
     budget: Array,
     volumes: Array,
-    e_block: int = 256,
-    sweeps: int = 8,
+    e_block: int = 64,
     interpret: bool = False,
 ) -> Tuple[DayOutcomes, Array]:
     """Run a full day for an E-env batch with the fused kernel.
@@ -232,10 +247,10 @@ def pallas_simulate_day(
     pre-sampled daily volumes.
 
     Returns (DayOutcomes, gate_converged (E,) bool). ``gate_converged``
-    certifies the unrolled budget gate reached its fixed point in every
-    sub-timestep (it converges in #partial-accept-cells + 2 sweeps;
-    ``sweeps=8`` leaves a wide margin — a False flag means results for
-    that env are untrusted and ``sweeps`` should be raised).
+    certifies the in-kernel budget gate reached its fixed point in every
+    sub-timestep (forward substitution converges in <= K sweeps, so the
+    flag is True unless the hardware misbehaves; a False value means
+    that env block's results are untrusted).
     """
     if cfg.kind is not KeywordKind.IMPLICIT or (
         cfg.competitor_model is not CompetitorModel.SINGLE_ABS_CENTS
@@ -278,7 +293,7 @@ def pallas_simulate_day(
     flag_spec = pl.BlockSpec(
         (e_block, 1), lambda e, t, _s: (e, 0), memory_space=pltpu.VMEM
     )
-    kernel = functools.partial(_day_kernel, m=m, sweeps=sweeps)
+    kernel = functools.partial(_day_kernel, m=m)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(E // e_block, T),

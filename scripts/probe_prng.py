@@ -79,3 +79,41 @@ def draw2(seed):
 a, b = (np.asarray(x) for x in jax.jit(draw2)(5))
 print(f"two calls identical: {np.array_equal(a, b)} "
       f"(a mean {a.mean():.3e}, b mean {b.mean():.3e})", flush=True)
+
+
+# --- third probe: raw prng_random_bits throughput ---
+import time
+
+REPS = 16
+def kernel3(seed_ref, out_ref):
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    acc = jnp.zeros(out_ref.shape, jnp.int32)
+    for _ in range(REPS):
+        acc = acc ^ pltpu.prng_random_bits((47, out_ref.shape[0], out_ref.shape[1]))[0]
+    out_ref[:, :] = acc
+
+
+def draw3(seed):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(24,),
+        in_specs=[],
+        out_specs=pl.BlockSpec((64, 100), lambda i, _s: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel3,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((64, 100), jnp.int32),
+    )(jnp.asarray([seed], jnp.int32))
+
+
+f3 = jax.jit(draw3)
+r = np.asarray(f3(1))  # compile+warm
+t0 = time.perf_counter()
+for s in range(2, 7):
+    r = np.asarray(f3(s))
+dt = (time.perf_counter() - t0) / 5
+words = REPS * 47 * 64 * 100 * 24
+print(f"prng rate: {dt*1e3:.2f} ms for {words/1e6:.1f}M words "
+      f"-> {words/dt/1e9:.2f} G words/s", flush=True)

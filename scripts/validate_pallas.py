@@ -44,8 +44,11 @@ volumes = jax.vmap(lambda k: jnp.minimum(
 # pallas path
 acc = None
 if MODE != "xla":
+    E_BLOCK = int(os.environ.get("PALLAS_EBLOCK", 64))
     pallas_fn = jax.jit(
-        lambda seed: pallas_simulate_day(cfg, seed, kw, bids, budget, volumes)
+        lambda seed: pallas_simulate_day(
+            cfg, seed, kw, bids, budget, volumes, e_block=E_BLOCK
+        )
     )
     t0 = time.perf_counter()
     day_p, conv = jax.tree.map(np.asarray, pallas_fn(jnp.asarray(1, jnp.int32)))
@@ -64,11 +67,14 @@ if MODE != "xla":
         f"pallas: {dt_p*1000:.1f} ms/day-step -> {E/dt_p:,.0f} env-steps/s",
         flush=True,
     )
-    # sanity while we're here
-    tot_cost = day_p.cost.sum(axis=1)
+    # sanity while we're here — budget accounting is exact integer cents
+    # in-kernel; sum cents, not f32 dollars (a 100-term f32 dollar sum
+    # wobbles ~1e-3 and false-flags the comparison)
+    tot_cents = np.round(day_p.cost * 100.0).astype(np.int64).sum(axis=1)
     print(
         f"  sanity: mean imp {day_p.impressions.mean():.1f}, "
-        f"mean cost {tot_cost.mean():.2f} (<= budget: {bool((tot_cost <= 1000.0 + 1e-3).all())})",
+        f"mean cost {tot_cents.mean()/100:.2f} "
+        f"(<= budget: {bool((tot_cents <= 100000).all())})",
         flush=True,
     )
 
