@@ -112,16 +112,32 @@ def rev_normal_cents(
 
 
 def abs_laplace_cents(
-    key: Array, loc: Array, scale: Array, shape, dtype=jnp.float32
+    key: Array, loc: Array, scale: Array, shape, dtype=jnp.float32,
+    lowest_bid: float = 0.0,
 ) -> Array:
-    """``round(|Laplace(loc, scale)|, 2)`` draws.
+    """``round(max(|Laplace(loc, scale)|, lowest_bid), 2)`` draws.
 
-    Replaces ``bid_abs_laplace`` (synthetic_kw_helpers.py:104-113) with
-    ``lowest_bid=0`` as used for single-competitor implicit keywords
-    (gymnasium_kw_utils.py:184).
+    Replaces ``bid_abs_laplace`` (synthetic_kw_helpers.py:104-113);
+    ``lowest_bid=0`` is what single-competitor implicit keywords use
+    (gymnasium_kw_utils.py:184). The floor applies BEFORE cent rounding,
+    as in the reference.
     """
     draw = loc + scale * jax.random.laplace(key, shape, dtype=dtype)
-    return round_cents(jnp.abs(draw))
+    return round_cents(jnp.maximum(jnp.abs(draw), lowest_bid))
+
+
+def abs_normal_cents(
+    key: Array, loc: Array, scale: Array, shape, dtype=jnp.float32,
+    lowest_bid: float = 0.0,
+) -> Array:
+    """``round(max(|N(loc, scale)|, lowest_bid), 2)`` draws.
+
+    Replaces ``bid_abs_normal`` (synthetic_kw_helpers.py:92-101) — defined
+    by the reference as an alternative competitor-bid sampler (no shipped
+    config uses it, but it is part of the public helper surface).
+    """
+    draw = loc + scale * jax.random.normal(key, shape, dtype=dtype)
+    return round_cents(jnp.maximum(jnp.abs(draw), lowest_bid))
 
 
 def beta_mean_alpha1(key: Array, mean: Array, shape=None) -> Array:

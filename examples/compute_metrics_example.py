@@ -8,6 +8,11 @@ the AKNCP/NCP metrics.
 Run: env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python examples/compute_metrics_example.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

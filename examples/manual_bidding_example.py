@@ -9,6 +9,11 @@ impressions, clicks, costs, conversions, revenues, and profit compose.
 Run: env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python examples/manual_bidding_example.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,0 +1,97 @@
+"""Smoke coverage for auxiliary modules: viz, multi_agent, timing, profiling.
+
+The reference validates these only through notebooks; here they get
+headless smoke tests so regressions surface in CI.
+"""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adcraft_tpu.config import EnvConfig, KeywordKind
+from adcraft_tpu.env import VectorBiddingEnv
+from adcraft_tpu.quantiles import (
+    make_experiment_quantiles,
+    load_experiment_quantiles,
+    simple_experiment_table,
+)
+
+
+def _kwcfg(tmp_path):
+    return {
+        "outer_directory": str(tmp_path),
+        "mean_volume": 16,
+        "conversion_rate": 0.5,
+        "make_quant_func": make_experiment_quantiles,
+        "load_quant_func": load_experiment_quantiles,
+    }
+
+
+@pytest.mark.unit
+def test_multi_flat_env_contract(tmp_path):
+    from adcraft_tpu.multi_agent import basic_policy_mapping_fn, make_multi_flat
+
+    env = make_multi_flat(
+        2, {"keyword_config": _kwcfg(tmp_path), "num_keywords": 3, "max_days": 3}
+    )
+    obs, infos = env.reset(seed=11)
+    assert set(obs) == {0, 1}
+    acts = {i: env.action_space.sample() for i in obs}
+    obs, rewards, terms, truncs, infos = env.step(acts)
+    assert set(rewards) == {0, 1}
+    assert "__all__" in terms and "__all__" in truncs
+    # reference semantics: agent_id -> str(agent_id) (multi_agent/train.py:11-13)
+    assert basic_policy_mapping_fn(1) == "1"
+
+
+@pytest.mark.unit
+def test_viz_functions_render_headless(key):
+    import matplotlib.pyplot as plt
+
+    from adcraft_tpu import viz
+    from adcraft_tpu.keywords import sample_explicit_keywords
+
+    rng = np.random.default_rng(0)
+    profits = rng.normal(size=(7, 5))  # (T days, K keywords)
+    bids = np.abs(rng.normal(size=(7, 5)))
+    viz.show_keyword_profits(profits, bids)
+    viz.show_cumulative_rewards(profits.sum(axis=1))
+    viz.print_agg_metric(profits[:, 0])
+    viz.akncp_ncp_heatmap(
+        rng.uniform(size=(3, 4)), [1, 2, 4], np.linspace(0.1, 1, 4)
+    )
+    kw = sample_explicit_keywords(key, 3)
+    viz.plot_explicit_kw_properties(kw, key=key, show=False)
+    plt.close("all")
+
+
+@pytest.mark.unit
+def test_timing_episode_smoke():
+    from adcraft_tpu.experiments.timing import time_episode
+
+    out = time_episode(16.0, 0.5, num_envs=4, num_keywords=3, max_days=2)
+    assert out["episodes"] == 4
+    assert out["s_per_episode"] > 0
+    assert np.isfinite(out["episodes_per_s"])
+
+
+@pytest.mark.unit
+def test_profiling_measure_steps(key):
+    from adcraft_tpu.profiling import measure_steps_per_sec
+
+    cfg = EnvConfig(num_keywords=3, kind=KeywordKind.IMPLICIT, max_volume=48)
+    venv = VectorBiddingEnv(cfg, 4, table=simple_experiment_table(16, 0.5))
+    state, _ = venv.reset(key)
+    bids = jnp.full((4, 3), 1.0)
+
+    def step_fn(carry):
+        new_state, ts = venv.step(carry, bids)
+        return new_state, ts.reward
+
+    res = measure_steps_per_sec(step_fn, state, num_steps=2, items_per_step=4)
+    assert res["items_per_sec"] > 0

@@ -132,6 +132,21 @@ def test_abs_laplace_cents_matches_reference_distribution(key):
 
 
 @pytest.mark.unit
+def test_abs_normal_cents_matches_reference_distribution(key):
+    # statistical equivalence vs bid_abs_normal
+    # (synthetic_kw_helpers.py:92-101), incl. the pre-rounding floor
+    loc, scale, lowest = 0.4, 0.3, 0.25
+    draws = np.asarray(
+        dist.abs_normal_cents(key, loc, scale, (200_000,), lowest_bid=lowest)
+    )
+    rng = np.random.default_rng(3)
+    ref = np.around(np.maximum(np.abs(rng.normal(loc, scale, 200_000)), lowest), 2)
+    assert draws.min() >= lowest - 0.005
+    assert draws.mean() == pytest.approx(ref.mean(), rel=0.02)
+    assert draws.std() == pytest.approx(ref.std(), rel=0.02)
+
+
+@pytest.mark.unit
 def test_threshold_sigmoid_matches_rust_semantics():
     # src/lib.rs:93-105 with thresh=0.05, intercept=0.5, slope=5
     bid = jnp.linspace(0.0, 3.0, 31)
