@@ -183,3 +183,32 @@ def test_vector_env_independent_envs(key):
     assert len(np.unique(vols)) > 1
     state, ts = venv.step(state, jnp.full((16, 2), 1.0))
     assert len(np.unique(np.asarray(ts.reward))) > 1
+
+
+@pytest.mark.unit
+def test_vmap_batch_matches_single_env_bitexact():
+    """Each lane of a vmapped batch step must equal the same env stepped
+    alone (vmap cannot change trajectories — SURVEY.md §4)."""
+    from adcraft_tpu.env import env_reset, env_step
+
+    cfg = EnvConfig(num_keywords=4, kind=KeywordKind.IMPLICIT, max_volume=64)
+    table = simple_experiment_table(32, 0.5)
+    keys = jax.random.split(jax.random.PRNGKey(42), 3)
+    states, _ = jax.vmap(lambda k: env_reset(cfg, k, table=table))(keys)
+    bids = jnp.asarray(
+        np.random.default_rng(0).uniform(0.2, 2.0, (3, 4)), jnp.float32
+    )
+    b_state, b_ts = jax.jit(jax.vmap(lambda s, b: env_step(cfg, s, b)))(
+        states, bids
+    )
+    for i in range(3):
+        s_i = jax.tree.map(lambda x: x[i], states)
+        one_state, one_ts = jax.jit(lambda s, b: env_step(cfg, s, b))(
+            s_i, bids[i]
+        )
+        for a, b in zip(jax.tree.leaves(one_ts), jax.tree.leaves(b_ts)):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)[i] if b.ndim else np.asarray(b)
+            )
+        for a, b in zip(jax.tree.leaves(one_state), jax.tree.leaves(b_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b)[i])
