@@ -139,6 +139,19 @@ class EnvConfig:
     # binds gradually). Bit-identical results either way.
     gate_scope: str = "per_t"
 
+    # How sellside conversions are sampled:
+    #   "lanes"  (default) one Bernoulli flag per candidate click lane,
+    #            first `accepted` consumed — mirrors the reference's
+    #            per-click coinflips (bidding_simulation.py:106-109) and
+    #            is the injected-draw parity path (the flag table is
+    #            independent of budget gating);
+    #   "counts" one Binomial(accepted, sctr) draw per cell —
+    #            distribution-identical given the gate (conversions of
+    #            `accepted` iid flips ARE Binomial(accepted, sctr)), but a
+    #            different PRNG stream; removes a third of the step's
+    #            random draws. Used by bench.py.
+    conv_sampling: str = "lanes"
+
     # Day-simulation kernel for the batched (VectorBiddingEnv) step:
     # "xla" (default) is the fused jnp step — key-driven, oracle-parity
     # tested; "pallas" is the VMEM-resident fused TPU kernel

@@ -352,6 +352,21 @@ def _cell_tables(cfg: EnvConfig, k_cells, kw, bids, t, n_auc_t, m: int, dtype):
         pad = jnp.zeros((1, K), dtype)
     cost_prefix = jnp.concatenate([pad, jnp.cumsum(costs, axis=0)], axis=0)
 
+    # revenue draws are always cent-quantized (rev_normal_cents); sum
+    # them as exact integer cents so accumulation order cannot matter
+    rev_draws = dist.rev_normal_cents(
+        k_rev, kw.rev_mean[None, :], kw.rev_std[None, :], (m, K), dtype=dtype
+    )
+    rev_dtype = jnp.int64 if cfg.use_x64 else jnp.int32
+    rev_cents = jnp.round(rev_draws * 100.0).astype(rev_dtype)
+    rev_prefix = jnp.concatenate(
+        [jnp.zeros((1, K), rev_dtype), jnp.cumsum(rev_cents, axis=0)], axis=0
+    )
+    if cfg.conv_sampling == "counts":
+        # conversions are drawn per cell AFTER gating as
+        # Binomial(accepted, sctr) from the same k_conv key slot
+        return cell.impressions, n_clicks, cost_prefix, rev_prefix
+
     # sellside conversion coinflips (bidding_simulation.py:106-109;
     # coinflips are `u <= p`, synthetic_kw_helpers.py:73-77). Flags are
     # drawn per candidate and the first `accepted` consumed, so the draw
@@ -362,16 +377,6 @@ def _cell_tables(cfg: EnvConfig, k_cells, kw, bids, t, n_auc_t, m: int, dtype):
     ).astype(jnp.int32)
     conv_prefix = jnp.concatenate(
         [jnp.zeros((1, K), jnp.int32), jnp.cumsum(conv_flags, axis=0)], axis=0
-    )
-    # revenue draws are always cent-quantized (rev_normal_cents); sum
-    # them as exact integer cents so accumulation order cannot matter
-    rev_draws = dist.rev_normal_cents(
-        k_rev, kw.rev_mean[None, :], kw.rev_std[None, :], (m, K), dtype=dtype
-    )
-    rev_dtype = jnp.int64 if cfg.use_x64 else jnp.int32
-    rev_cents = jnp.round(rev_draws * 100.0).astype(rev_dtype)
-    rev_prefix = jnp.concatenate(
-        [jnp.zeros((1, K), rev_dtype), jnp.cumsum(rev_cents, axis=0)], axis=0
     )
     return cell.impressions, n_clicks, cost_prefix, conv_prefix, rev_prefix
 
@@ -437,21 +442,31 @@ def simulate_day(
     # (bound max_clicks_per_cell); sub-timesteps 1..T-1 each run exactly
     # vol//T auctions (bound max_clicks_rest, roughly half) — nearly
     # halving the per-day sampling work.
-    imp0, ncl0, cpre0, vpre0, rpre0 = _cell_tables(
+    counts = cfg.conv_sampling == "counts"
+    tab0 = _cell_tables(
         cfg, k_cells, kw, bids, jnp.asarray(0), n_auctions[0],
         cfg.max_clicks_per_cell, dtype,
     )
+    if counts:
+        imp0, ncl0, cpre0, rpre0 = tab0
+    else:
+        imp0, ncl0, cpre0, vpre0, rpre0 = tab0
     if T > 1:
         # gate_scope="global" wants lane-major stacked tables (the (T-1, K)
         # cell grid flattens to lexicographic order for free); "per_t"
         # wants t-major so the gate scan slices per-sub-timestep tiles.
         pax = 1 if cfg.gate_scope == "global" else 0
-        imp1, ncl1, cpre1, vpre1, rpre1 = jax.vmap(
+        axes = (0, 0, pax, pax) if counts else (0, 0, pax, pax, pax)
+        tabs1 = jax.vmap(
             lambda t, n: _cell_tables(
                 cfg, k_cells, kw, bids, t, n, cfg.max_clicks_rest, dtype
             ),
-            out_axes=(0, 0, pax, pax, pax),
+            out_axes=axes,
         )(jnp.arange(1, T), n_auctions[1:])
+        if counts:
+            imp1, ncl1, cpre1, rpre1 = tabs1
+        else:
+            imp1, ncl1, cpre1, vpre1, rpre1 = tabs1
 
     # ---- phase 2: the budget gate ----
     (b, broken), (acc0, spend0, sim0) = gate(
@@ -477,7 +492,19 @@ def simulate_day(
             )
 
     # ---- phase 3: gathers + reductions ----
-    nconv0 = jnp.take_along_axis(vpre0, acc0[None, :], axis=0)[0]
+    if counts:
+        # conversions | accepted ~ Binomial(accepted, sctr): identical in
+        # distribution to consuming the first `accepted` iid flips, one
+        # count draw per cell instead of an (M, K) flag table. Same
+        # k_conv key slot as the lanes path (stream differs; see config).
+        def _nconv_counts(t, accepted):
+            kt = jax.random.fold_in(k_cells, t)
+            k_conv = jax.random.split(kt, 4)[2]
+            return dist.binomial(k_conv, accepted, kw.sctr)
+
+        nconv0 = _nconv_counts(jnp.asarray(0), acc0)
+    else:
+        nconv0 = jnp.take_along_axis(vpre0, acc0[None, :], axis=0)[0]
     rev0 = jnp.take_along_axis(rpre0, nconv0[None, :], axis=0)[0]
 
     def cell_out(imp_c, acc_c, spend_c, nconv_c, rev_c, sim_c, n_auc_c):
@@ -493,7 +520,15 @@ def simulate_day(
 
     out0 = cell_out(imp0, acc0, spend0, nconv0, rev0, sim0, n_auctions[0])
     if T > 1:
-        if cfg.gate_scope == "global":  # tables are (M1+1, T-1, K)
+        if counts:
+            nconv1 = jax.vmap(_nconv_counts)(jnp.arange(1, T), acc1)
+            if cfg.gate_scope == "global":  # rev table is (M1+1, T-1, K)
+                rev1 = jnp.take_along_axis(rpre1, nconv1[None, :, :], axis=0)[0]
+            else:  # (T-1, M1+1, K)
+                rev1 = jnp.take_along_axis(
+                    rpre1, nconv1[:, None, :], axis=1
+                )[:, 0, :]
+        elif cfg.gate_scope == "global":  # tables are (M1+1, T-1, K)
             nconv1 = jnp.take_along_axis(vpre1, acc1[None, :, :], axis=0)[0]
             rev1 = jnp.take_along_axis(rpre1, nconv1[None, :, :], axis=0)[0]
         else:  # tables are (T-1, M1+1, K)
@@ -541,6 +576,12 @@ def sample_day_draws(
     """
     if dtype is None:
         dtype = cfg.money_dtype
+    if cfg.conv_sampling != "lanes":
+        raise ValueError(
+            "injected-draw parity requires conv_sampling='lanes' (the "
+            "'counts' mode draws conversions after gating; it is "
+            "validated distributionally, tests/test_step.py)"
+        )
     import numpy as np
 
     K = kw.num_keywords

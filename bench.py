@@ -47,6 +47,10 @@ def main() -> None:
         max_days=60,
         day_kernel=os.environ.get("BENCH_KERNEL", "xla"),
         prng_impl=os.environ.get("BENCH_PRNG", "threefry2x32"),
+        # Binomial(accepted, sctr) conversion counts instead of per-lane
+        # flag tables: distribution-identical, removes a third of the
+        # step's random draws (adcraft_tpu.config.EnvConfig.conv_sampling)
+        conv_sampling=os.environ.get("BENCH_CONV", "counts"),
     )
     table = simple_experiment_table(128, 0.8)
     venv = VectorBiddingEnv(cfg, NUM_ENVS, table=table)

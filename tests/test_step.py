@@ -245,6 +245,38 @@ def test_global_gate_matches_per_t_gate(seed, budget):
 
 
 @pytest.mark.unit
+def test_conv_counts_mode_matches_lanes_distribution():
+    """conv_sampling="counts" must match "lanes" in distribution:
+    identical non-conversion outcomes per key (same draws up to the gate)
+    and statistically equal conversion/revenue means."""
+    kw = implicit_kw(IMPLICIT_CFG.num_keywords, 5)
+    bids = jnp.full((IMPLICIT_CFG.num_keywords,), 1.0)
+    keys = jax.random.split(jax.random.PRNGKey(17), 256)
+    outs = {}
+    for mode in ("lanes", "counts"):
+        cfg = IMPLICIT_CFG.replace(conv_sampling=mode)
+        fn = jax.jit(
+            jax.vmap(
+                lambda k: simulate_day(cfg, k, kw, bids, jnp.asarray(1000.0))
+            )
+        )
+        outs[mode] = jax.tree.map(np.asarray, fn(keys))
+    # everything upstream of conversions is bit-identical (same key tree)
+    for field in ("impressions", "buyside_clicks", "cost", "volume"):
+        np.testing.assert_array_equal(
+            getattr(outs["lanes"], field), getattr(outs["counts"], field),
+            err_msg=field,
+        )
+    # conversions/revenue agree in distribution (256 episodes per mode)
+    a = outs["lanes"].sellside_conversions.mean(axis=0)
+    b = outs["counts"].sellside_conversions.mean(axis=0)
+    np.testing.assert_allclose(a.mean(), b.mean(), rtol=0.05)
+    ra = outs["lanes"].revenue.mean(axis=0)
+    rb = outs["counts"].revenue.mean(axis=0)
+    np.testing.assert_allclose(ra.mean(), rb.mean(), rtol=0.05)
+
+
+@pytest.mark.unit
 def test_lazy_gate_fuzz_vs_scan_gate():
     """Randomized adversarial gate inputs (zero costs, zero budgets,
     break-at-every-position): lazy must equal the sequential scan gate
