@@ -51,6 +51,10 @@ def main() -> None:
         # flag tables: distribution-identical, removes a third of the
         # step's random draws (adcraft_tpu.config.EnvConfig.conv_sampling)
         conv_sampling=os.environ.get("BENCH_CONV", "counts"),
+        # one whole-day lazy gate beats 24 per-sub-timestep gates here
+        # (lazy sweeps are O(T*K + M), so the global scope's long-chain
+        # hazard that sank the Jacobi gate does not apply): 8,834 -> 9,116
+        gate_scope=os.environ.get("BENCH_GATE_SCOPE", "global"),
     )
     table = simple_experiment_table(128, 0.8)
     venv = VectorBiddingEnv(cfg, NUM_ENVS, table=table)
