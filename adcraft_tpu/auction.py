@@ -74,6 +74,7 @@ def implicit_single_auction(
     bid_scale: Array,
     max_clicks: int,
     dtype=jnp.float32,
+    lane_bits: int = 32,
 ) -> CellAuction:
     """Single-competitor implicit auction (reference experiment config).
 
@@ -99,6 +100,7 @@ def implicit_single_auction(
         -y0[None, ...],
         y0[None, ...],
         shape,
+        bits=lane_bits,
     )
     costs = dist.round_cents(jnp.abs(trunc)).astype(dtype)
     return CellAuction(impressions, impressions, costs)
@@ -213,7 +215,8 @@ def run_cell_auctions(
         )
     if cfg.competitor_model is CompetitorModel.SINGLE_ABS_CENTS:
         return implicit_single_auction(
-            key, bids, n_auctions, kw.bid_loc, kw.bid_scale, m, dtype=dtype
+            key, bids, n_auctions, kw.bid_loc, kw.bid_scale, m, dtype=dtype,
+            lane_bits=cfg.lane_bits,
         )
     return implicit_pool_auction(
         key,

@@ -152,6 +152,28 @@ class EnvConfig:
     #            random draws. Used by bench.py.
     conv_sampling: str = "lanes"
 
+    # How per-conversion revenues are sampled:
+    #   "lanes" (default) one cent-quantized normal draw per candidate
+    #           click lane, first `nconv` summed — mirrors the reference's
+    #           per-conversion draws (bidding_simulation.py:111) and is the
+    #           injected-draw parity path;
+    #   "sum"   one aggregate draw per cell: the sum of `nconv` iid
+    #           quantized censored normals is approximated by one normal
+    #           with the exact per-draw mean/variance (closed-form censored
+    #           -normal moments + cent-quantization variance), rounded to
+    #           cents — exact for rev_std == 0, CLT-approximate otherwise
+    #           (PARITY.md "Aggregate revenue sampling"). Removes the
+    #           entire (M, K) revenue table. Used by bench.py.
+    rev_sampling: str = "lanes"
+
+    # Bit width of the uniform driving each implicit-single cost lane draw:
+    # 32 (default; full jax.random.uniform words) or 16 (two lane draws per
+    # threefry word — the inverse-CDF input is quantized to 2^-16, which
+    # perturbs each cent-bucket probability by < 2^-16; PARITY.md). Only
+    # the SINGLE_ABS_CENTS cost lane sampler honors this; other models
+    # always use 32.
+    lane_bits: int = 32
+
     # Day-simulation kernel for the batched (VectorBiddingEnv) step:
     # "xla" (default) is the fused jnp step — key-driven, oracle-parity
     # tested; "pallas" is the VMEM-resident fused TPU kernel
@@ -175,6 +197,12 @@ class EnvConfig:
             raise ValueError("timesteps_per_day must be >= 1")
         if self.max_volume < 1:
             raise ValueError("max_volume must be >= 1")
+        if self.conv_sampling not in ("lanes", "counts"):
+            raise ValueError("conv_sampling must be 'lanes' or 'counts'")
+        if self.rev_sampling not in ("lanes", "sum"):
+            raise ValueError("rev_sampling must be 'lanes' or 'sum'")
+        if self.lane_bits not in (16, 32):
+            raise ValueError("lane_bits must be 16 or 32")
 
     # ---- derived static shapes ----
 

@@ -207,6 +207,76 @@ def generic_cost(key: Array, bid: Array, shape, dtype=jnp.float32) -> Array:
 
 
 # ---------------------------------------------------------------------------
+# aggregate-draw helpers (rev_sampling="sum" / cost_sampling="agg")
+# ---------------------------------------------------------------------------
+
+
+def uniform16(key: Array, shape, dtype=jnp.float32) -> Array:
+    """Uniforms in (0, 1) built from 16-bit PRNG halves.
+
+    Each output consumes HALF a threefry word (jax packs sub-32-bit draws
+    two-per-word), at the price of quantizing the uniform to 2^-16 steps —
+    the midpoint mapping ``(bits + 0.5) / 65536`` keeps it unbiased and
+    bounded away from {0, 1}. Used for cent-quantized cost lanes
+    (``EnvConfig.lane_bits=16``) where outputs land in a few hundred cent
+    buckets, so each bucket probability moves by < 2^-16.
+    """
+    bits = jax.random.bits(key, shape, dtype=jnp.uint16)
+    return (bits.astype(dtype) + 0.5) * (1.0 / 65536.0)
+
+
+def censored_normal_moments(mean: Array, std: Array, low) -> tuple:
+    """Exact mean/std of ``max(N(mean, std), low)`` (censored normal).
+
+    With a = (low - mean)/std, F = Phi(a), f = phi(a):
+      E[Y]  = low*F + mean*(1-F) + std*f
+      E[Y^2]= low^2*F + (mean^2+std^2)*(1-F) + std*(mean+low)*f
+    Degenerate std == 0 returns (max(mean, low), 0).
+    """
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    safe = jnp.maximum(std, 1e-20)
+    a = (low - mean) / safe
+    big_f = jax.scipy.stats.norm.cdf(a)
+    small_f = jax.scipy.stats.norm.pdf(a)
+    m1 = low * big_f + mean * (1.0 - big_f) + safe * small_f
+    m2 = (
+        low * low * big_f
+        + (mean * mean + safe * safe) * (1.0 - big_f)
+        + safe * (mean + low) * small_f
+    )
+    var = jnp.maximum(m2 - m1 * m1, 0.0)
+    deg = std <= 0.0
+    m1 = jnp.where(deg, jnp.maximum(mean, low), m1)
+    var = jnp.where(deg, 0.0, var)
+    return m1, jnp.sqrt(var)
+
+
+def rev_sum_cents(
+    key: Array, nconv: Array, rev_mean: Array, rev_std: Array, cents_dtype
+) -> Array:
+    """Aggregate revenue for ``nconv`` conversions, in integer cents.
+
+    One draw approximating ``sum of nconv iid round_cents(max(N(mean, std),
+    0.01))`` (the ``rev_normal_cents`` per-conversion model): a normal with
+    the exact censored-normal per-draw moments plus the cent-quantization
+    variance 1/12 cent^2, rounded to cents and floored at nconv * 1 cent
+    (each conversion is worth >= $0.01). Exact when rev_std == 0; CLT-
+    approximate otherwise (PARITY.md "Aggregate revenue sampling").
+    """
+    m1, s1 = censored_normal_moments(rev_mean, rev_std, 0.01)
+    mean_c = 100.0 * m1
+    std_c = jnp.sqrt((100.0 * s1) ** 2 + (1.0 / 12.0))
+    n = nconv.astype(jnp.float32)
+    z = jax.random.normal(key, nconv.shape, dtype=jnp.float32)
+    clt = jnp.round(n * mean_c + jnp.sqrt(n) * std_c * z)
+    exact = n * jnp.round(mean_c)
+    cents = jnp.where(rev_std <= 0.0, exact, clt)
+    cents = jnp.maximum(cents, n)  # >= 1 cent per conversion
+    return jnp.where(nconv > 0, cents, 0.0).astype(cents_dtype)
+
+
+# ---------------------------------------------------------------------------
 # Laplace CDF utilities (for the closed-form implicit auction)
 # ---------------------------------------------------------------------------
 
@@ -226,10 +296,18 @@ def laplace_icdf(u: Array, loc: Array, scale: Array) -> Array:
 
 
 def truncated_laplace(
-    key: Array, loc: Array, scale: Array, low: Array, high: Array, shape
+    key: Array, loc: Array, scale: Array, low: Array, high: Array, shape,
+    bits: int = 32,
 ) -> Array:
-    """Exact inverse-CDF draws of Laplace(loc, scale) truncated to [low, high]."""
+    """Exact inverse-CDF draws of Laplace(loc, scale) truncated to [low, high].
+
+    ``bits=16`` drives the inverse CDF with half-word uniforms
+    (``uniform16``) — two draws per threefry word (EnvConfig.lane_bits).
+    """
     f_lo = laplace_cdf(low, loc, scale)
     f_hi = laplace_cdf(high, loc, scale)
-    u = jax.random.uniform(key, shape)
+    if bits == 16:
+        u = uniform16(key, shape)
+    else:
+        u = jax.random.uniform(key, shape)
     return laplace_icdf(f_lo + u * (f_hi - f_lo), loc, scale)

@@ -352,33 +352,39 @@ def _cell_tables(cfg: EnvConfig, k_cells, kw, bids, t, n_auc_t, m: int, dtype):
         pad = jnp.zeros((1, K), dtype)
     cost_prefix = jnp.concatenate([pad, jnp.cumsum(costs, axis=0)], axis=0)
 
-    # revenue draws are always cent-quantized (rev_normal_cents); sum
-    # them as exact integer cents so accumulation order cannot matter
-    rev_draws = dist.rev_normal_cents(
-        k_rev, kw.rev_mean[None, :], kw.rev_std[None, :], (m, K), dtype=dtype
-    )
-    rev_dtype = jnp.int64 if cfg.use_x64 else jnp.int32
-    rev_cents = jnp.round(rev_draws * 100.0).astype(rev_dtype)
-    rev_prefix = jnp.concatenate(
-        [jnp.zeros((1, K), rev_dtype), jnp.cumsum(rev_cents, axis=0)], axis=0
-    )
-    if cfg.conv_sampling == "counts":
-        # conversions are drawn per cell AFTER gating as
-        # Binomial(accepted, sctr) from the same k_conv key slot
-        return cell.impressions, n_clicks, cost_prefix, rev_prefix
-
-    # sellside conversion coinflips (bidding_simulation.py:106-109;
-    # coinflips are `u <= p`, synthetic_kw_helpers.py:73-77). Flags are
-    # drawn per candidate and the first `accepted` consumed, so the draw
-    # table is independent of budget gating (the oracle injects these,
-    # tests/test_step.py).
-    conv_flags = (
-        jax.random.uniform(k_conv, (m, K)) <= kw.sctr[None, :]
-    ).astype(jnp.int32)
-    conv_prefix = jnp.concatenate(
-        [jnp.zeros((1, K), jnp.int32), jnp.cumsum(conv_flags, axis=0)], axis=0
-    )
-    return cell.impressions, n_clicks, cost_prefix, conv_prefix, rev_prefix
+    out = [cell.impressions, n_clicks, cost_prefix]
+    if cfg.conv_sampling == "lanes":
+        # sellside conversion coinflips (bidding_simulation.py:106-109;
+        # coinflips are `u <= p`, synthetic_kw_helpers.py:73-77). Flags are
+        # drawn per candidate and the first `accepted` consumed, so the
+        # draw table is independent of budget gating (the oracle injects
+        # these, tests/test_step.py). In "counts" mode conversions are
+        # instead drawn per cell AFTER gating as Binomial(accepted, sctr)
+        # from the same k_conv key slot.
+        conv_flags = (
+            jax.random.uniform(k_conv, (m, K)) <= kw.sctr[None, :]
+        ).astype(jnp.int32)
+        conv_prefix = jnp.concatenate(
+            [jnp.zeros((1, K), jnp.int32), jnp.cumsum(conv_flags, axis=0)],
+            axis=0,
+        )
+        out.append(conv_prefix)
+    if cfg.rev_sampling == "lanes":
+        # revenue draws are always cent-quantized (rev_normal_cents); sum
+        # them as exact integer cents so accumulation order cannot matter.
+        # In "sum" mode one aggregate draw per cell is taken AFTER gating
+        # from the same k_rev key slot (dist.rev_sum_cents).
+        rev_draws = dist.rev_normal_cents(
+            k_rev, kw.rev_mean[None, :], kw.rev_std[None, :], (m, K), dtype=dtype
+        )
+        rev_dtype = jnp.int64 if cfg.use_x64 else jnp.int32
+        rev_cents = jnp.round(rev_draws * 100.0).astype(rev_dtype)
+        rev_prefix = jnp.concatenate(
+            [jnp.zeros((1, K), rev_dtype), jnp.cumsum(rev_cents, axis=0)],
+            axis=0,
+        )
+        out.append(rev_prefix)
+    return tuple(out)
 
 
 def simulate_day(
@@ -443,30 +449,35 @@ def simulate_day(
     # vol//T auctions (bound max_clicks_rest, roughly half) — nearly
     # halving the per-day sampling work.
     counts = cfg.conv_sampling == "counts"
+    rev_sum = cfg.rev_sampling == "sum"
+
+    def _unpack(tab):
+        it = iter(tab)
+        imp, ncl, cpre = next(it), next(it), next(it)
+        vpre = None if counts else next(it)
+        rpre = None if rev_sum else next(it)
+        return imp, ncl, cpre, vpre, rpre
+
     tab0 = _cell_tables(
         cfg, k_cells, kw, bids, jnp.asarray(0), n_auctions[0],
         cfg.max_clicks_per_cell, dtype,
     )
-    if counts:
-        imp0, ncl0, cpre0, rpre0 = tab0
-    else:
-        imp0, ncl0, cpre0, vpre0, rpre0 = tab0
+    imp0, ncl0, cpre0, vpre0, rpre0 = _unpack(tab0)
     if T > 1:
         # gate_scope="global" wants lane-major stacked tables (the (T-1, K)
         # cell grid flattens to lexicographic order for free); "per_t"
         # wants t-major so the gate scan slices per-sub-timestep tiles.
         pax = 1 if cfg.gate_scope == "global" else 0
-        axes = (0, 0, pax, pax) if counts else (0, 0, pax, pax, pax)
+        axes = (0, 0, pax)
+        axes += () if counts else (pax,)
+        axes += () if rev_sum else (pax,)
         tabs1 = jax.vmap(
             lambda t, n: _cell_tables(
                 cfg, k_cells, kw, bids, t, n, cfg.max_clicks_rest, dtype
             ),
             out_axes=axes,
         )(jnp.arange(1, T), n_auctions[1:])
-        if counts:
-            imp1, ncl1, cpre1, rpre1 = tabs1
-        else:
-            imp1, ncl1, cpre1, vpre1, rpre1 = tabs1
+        imp1, ncl1, cpre1, vpre1, rpre1 = _unpack(tabs1)
 
     # ---- phase 2: the budget gate ----
     (b, broken), (acc0, spend0, sim0) = gate(
@@ -505,7 +516,21 @@ def simulate_day(
         nconv0 = _nconv_counts(jnp.asarray(0), acc0)
     else:
         nconv0 = jnp.take_along_axis(vpre0, acc0[None, :], axis=0)[0]
-    rev0 = jnp.take_along_axis(rpre0, nconv0[None, :], axis=0)[0]
+    if rev_sum:
+        # one aggregate draw per cell instead of an (M, K) revenue table;
+        # same k_rev key slot as the lanes path (stream differs; config).
+        rev_dtype = jnp.int64 if cfg.use_x64 else jnp.int32
+
+        def _rev_sum(t, nconv):
+            kt = jax.random.fold_in(k_cells, t)
+            k_rev = jax.random.split(kt, 4)[3]
+            return dist.rev_sum_cents(
+                k_rev, nconv, kw.rev_mean, kw.rev_std, rev_dtype
+            )
+
+        rev0 = _rev_sum(jnp.asarray(0), nconv0)
+    else:
+        rev0 = jnp.take_along_axis(rpre0, nconv0[None, :], axis=0)[0]
 
     def cell_out(imp_c, acc_c, spend_c, nconv_c, rev_c, sim_c, n_auc_c):
         imp_m = jnp.where(sim_c, imp_c, 0)
@@ -522,18 +547,18 @@ def simulate_day(
     if T > 1:
         if counts:
             nconv1 = jax.vmap(_nconv_counts)(jnp.arange(1, T), acc1)
-            if cfg.gate_scope == "global":  # rev table is (M1+1, T-1, K)
-                rev1 = jnp.take_along_axis(rpre1, nconv1[None, :, :], axis=0)[0]
-            else:  # (T-1, M1+1, K)
-                rev1 = jnp.take_along_axis(
-                    rpre1, nconv1[:, None, :], axis=1
-                )[:, 0, :]
-        elif cfg.gate_scope == "global":  # tables are (M1+1, T-1, K)
+        elif cfg.gate_scope == "global":  # conv table is (M1+1, T-1, K)
             nconv1 = jnp.take_along_axis(vpre1, acc1[None, :, :], axis=0)[0]
-            rev1 = jnp.take_along_axis(rpre1, nconv1[None, :, :], axis=0)[0]
-        else:  # tables are (T-1, M1+1, K)
+        else:  # (T-1, M1+1, K)
             nconv1 = jnp.take_along_axis(vpre1, acc1[:, None, :], axis=1)[:, 0, :]
-            rev1 = jnp.take_along_axis(rpre1, nconv1[:, None, :], axis=1)[:, 0, :]
+        if rev_sum:
+            rev1 = jax.vmap(_rev_sum)(jnp.arange(1, T), nconv1)
+        elif cfg.gate_scope == "global":  # rev table is (M1+1, T-1, K)
+            rev1 = jnp.take_along_axis(rpre1, nconv1[None, :, :], axis=0)[0]
+        else:  # (T-1, M1+1, K)
+            rev1 = jnp.take_along_axis(
+                rpre1, nconv1[:, None, :], axis=1
+            )[:, 0, :]
         out1 = cell_out(imp1, acc1, spend1, nconv1, rev1, sim1, n_auctions[1:])
         outs = tuple(
             jnp.concatenate([o0[None], o1], axis=0)
@@ -576,11 +601,11 @@ def sample_day_draws(
     """
     if dtype is None:
         dtype = cfg.money_dtype
-    if cfg.conv_sampling != "lanes":
+    if cfg.conv_sampling != "lanes" or cfg.rev_sampling != "lanes":
         raise ValueError(
-            "injected-draw parity requires conv_sampling='lanes' (the "
-            "'counts' mode draws conversions after gating; it is "
-            "validated distributionally, tests/test_step.py)"
+            "injected-draw parity requires conv_sampling='lanes' and "
+            "rev_sampling='lanes' (the aggregate modes draw after gating; "
+            "they are validated distributionally, tests/test_step.py)"
         )
     import numpy as np
 

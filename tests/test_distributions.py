@@ -222,3 +222,55 @@ def test_beta_mean_alpha1(key):
     m = 0.045086
     draws = dist.beta_mean_alpha1(key, jnp.full((200_000,), m))
     assert float(draws.mean()) == pytest.approx(m, rel=0.05)
+
+
+@pytest.mark.unit
+def test_censored_normal_moments_match_monte_carlo():
+    rng = np.random.default_rng(0)
+    cases = [
+        (1.0, 0.3, 0.01),
+        (0.2, 0.5, 0.01),
+        (0.05, 0.1, 0.01),
+        (1.5, 0.0, 0.01),
+        (-0.5, 0.2, 0.01),
+    ]
+    for mean, std, low in cases:
+        m, s = dist.censored_normal_moments(
+            jnp.asarray(mean), jnp.asarray(std), low
+        )
+        draws = np.maximum(rng.normal(mean, std, 400_000), low)
+        np.testing.assert_allclose(float(m), draws.mean(), rtol=2e-2, atol=2e-3)
+        np.testing.assert_allclose(float(s), draws.std(), rtol=3e-2, atol=2e-3)
+
+
+@pytest.mark.unit
+def test_uniform16_moments_and_packing(key):
+    u = dist.uniform16(key, (200_000,))
+    u = np.asarray(u)
+    assert np.all((u > 0) & (u < 1))
+    np.testing.assert_allclose(u.mean(), 0.5, atol=5e-3)
+    np.testing.assert_allclose(u.std(), 1.0 / np.sqrt(12.0), atol=5e-3)
+    # quantized to the 2^-16 midpoint grid
+    g = u * 65536.0 - 0.5
+    np.testing.assert_allclose(g, np.round(g), atol=1e-3)
+
+
+@pytest.mark.unit
+def test_rev_sum_cents_moments(key):
+    """Aggregate revenue draw matches the per-draw sum's moments."""
+    n = 7
+    mean, std = 1.1, 0.4
+    keys = jax.random.split(key, 100_000)
+    nconv = jnp.full((1,), n, jnp.int32)
+    draws = jax.vmap(
+        lambda k: dist.rev_sum_cents(
+            k, nconv, jnp.asarray([mean]), jnp.asarray([std]), jnp.int32
+        )[0]
+    )(keys)
+    draws = np.asarray(draws) / 100.0
+    rng = np.random.default_rng(1)
+    ref = np.round(
+        np.maximum(rng.normal(mean, std, (100_000, n)), 0.01) * 100
+    ).sum(axis=1) / 100.0
+    np.testing.assert_allclose(draws.mean(), ref.mean(), rtol=1e-2)
+    np.testing.assert_allclose(draws.std(), ref.std(), rtol=3e-2)

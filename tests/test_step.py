@@ -277,6 +277,96 @@ def test_conv_counts_mode_matches_lanes_distribution():
 
 
 @pytest.mark.unit
+def test_rev_sum_mode_matches_lanes_distribution():
+    """rev_sampling="sum" must match "lanes" in distribution: identical
+    non-revenue outcomes per key (same draws up to conversions) and
+    statistically equal revenue mean/std (the aggregate draw carries the
+    exact censored-normal per-draw moments)."""
+    kw = implicit_kw(IMPLICIT_CFG.num_keywords, 6)
+    bids = jnp.full((IMPLICIT_CFG.num_keywords,), 1.0)
+    keys = jax.random.split(jax.random.PRNGKey(23), 256)
+    outs = {}
+    for mode in ("lanes", "sum"):
+        cfg = IMPLICIT_CFG.replace(rev_sampling=mode)
+        fn = jax.jit(
+            jax.vmap(
+                lambda k: simulate_day(cfg, k, kw, bids, jnp.asarray(1000.0))
+            )
+        )
+        outs[mode] = jax.tree.map(np.asarray, fn(keys))
+    for field in (
+        "impressions",
+        "buyside_clicks",
+        "cost",
+        "volume",
+        "sellside_conversions",
+    ):
+        np.testing.assert_array_equal(
+            getattr(outs["lanes"], field), getattr(outs["sum"], field),
+            err_msg=field,
+        )
+    ra = outs["lanes"].revenue
+    rb = outs["sum"].revenue
+    np.testing.assert_allclose(ra.mean(), rb.mean(), rtol=0.05)
+    np.testing.assert_allclose(ra.std(), rb.std(), rtol=0.15)
+
+
+@pytest.mark.unit
+def test_rev_sum_exact_for_zero_std():
+    """With rev_std == 0 the aggregate mode is exact: revenue ==
+    conversions * round_cents(max(rev_mean, 0.01))."""
+    kw = implicit_kw(IMPLICIT_CFG.num_keywords, 9)._replace(
+        rev_std=jnp.zeros((IMPLICIT_CFG.num_keywords,), jnp.float32)
+    )
+    cfg = IMPLICIT_CFG.replace(rev_sampling="sum")
+    bids = jnp.full((IMPLICIT_CFG.num_keywords,), 1.0)
+    day = jax.jit(
+        lambda k: simulate_day(cfg, k, kw, bids, jnp.asarray(1000.0))
+    )(jax.random.PRNGKey(3))
+    per_cents = np.round(np.maximum(np.asarray(kw.rev_mean), 0.01) * 100.0)
+    np.testing.assert_allclose(
+        np.asarray(day.revenue),
+        np.asarray(day.sellside_conversions) * per_cents / 100.0,
+        rtol=1e-6,
+        atol=1e-6,
+    )
+
+
+@pytest.mark.unit
+@pytest.mark.parametrize("seed", range(3))
+def test_lane_bits16_injected_parity(seed):
+    """lane_bits=16 stays bit-parity-testable: sample_day_draws mirrors the
+    16-bit cost stream, so the oracle must still match exactly."""
+    cfg = IMPLICIT_CFG.replace(lane_bits=16)
+    kw = implicit_kw(cfg.num_keywords, seed + 40)
+    bids = np.random.default_rng(seed).uniform(0.3, 2.0, cfg.num_keywords)
+    _assert_day_matches_oracle(cfg, kw, bids, 20.0, seed)
+
+
+@pytest.mark.unit
+def test_lane_bits16_cost_distribution():
+    """16-bit cost lanes must match the 32-bit distribution (the inverse
+    CDF input is quantized to 2^-16 — invisible at cent granularity)."""
+    kw = implicit_kw(IMPLICIT_CFG.num_keywords, 11)
+    bids = jnp.full((IMPLICIT_CFG.num_keywords,), 1.0)
+    keys = jax.random.split(jax.random.PRNGKey(29), 256)
+    outs = {}
+    for bits in (32, 16):
+        cfg = IMPLICIT_CFG.replace(lane_bits=bits)
+        fn = jax.jit(
+            jax.vmap(
+                lambda k: simulate_day(cfg, k, kw, bids, jnp.asarray(1000.0))
+            )
+        )
+        outs[bits] = jax.tree.map(np.asarray, fn(keys))
+    # impressions/volume identical (cost lanes don't affect them)
+    np.testing.assert_array_equal(outs[32].impressions, outs[16].impressions)
+    np.testing.assert_allclose(
+        outs[32].cost.mean(), outs[16].cost.mean(), rtol=0.03
+    )
+
+
+@pytest.mark.unit
 def test_lazy_gate_fuzz_vs_scan_gate():
     """Randomized adversarial gate inputs (zero costs, zero budgets,
     break-at-every-position): lazy must equal the sequential scan gate
