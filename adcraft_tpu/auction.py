@@ -54,6 +54,25 @@ class CellAuction(NamedTuple):
     # lane-major so the keyword axis stays on the TPU's 128-lane dimension
 
 
+def cell_binomial_fn(cfg: EnvConfig, max_clicks: int):
+    """The binomial sampler for buffer-bounded hot-path draws.
+
+    ``cfg.binomial_sampler="inversion"`` swaps ``jax.random.binomial``'s
+    rejection loops for the one-uniform inverse-CDF walk
+    (``distributions.binomial_inv``) — valid exactly because impressions,
+    clicks and conversions in a cell are all bounded by the static click
+    buffer ``max_clicks``.
+    """
+    if cfg.binomial_sampler == "inversion":
+        def bfn(key, n, p, shape=None):
+            return dist.binomial_inv(
+                key, n, p, nmax=max_clicks, bits=cfg.lane_bits, shape=shape
+            )
+
+        return bfn
+    return dist.binomial
+
+
 def _single_abs_cents_win_threshold(bid: Array) -> Array:
     """|Laplace| threshold equivalent to beating a cents-rounded competitor.
 
@@ -75,6 +94,7 @@ def implicit_single_auction(
     max_clicks: int,
     dtype=jnp.float32,
     lane_bits: int = 32,
+    binomial_fn=dist.binomial,
 ) -> CellAuction:
     """Single-competitor implicit auction (reference experiment config).
 
@@ -88,7 +108,7 @@ def implicit_single_auction(
         -y0, bid_loc, bid_scale
     )
     p_win = jnp.clip(p_win, 0.0, 1.0)
-    impressions = dist.binomial(k_imp, n_auctions, p_win)
+    impressions = binomial_fn(k_imp, n_auctions, p_win)
 
     # cost | win: L ~ Laplace(loc, scale) truncated to (-y0, y0), cost
     # = round(|L|, 2). Exact inverse-CDF; i.i.d. across won auctions.
@@ -116,6 +136,7 @@ def implicit_pool_auction(
     participation_rate: Array,
     max_clicks: int,
     dtype=jnp.float32,
+    binomial_fn=dist.binomial,
 ) -> CellAuction:
     """Binomial-pool implicit auction (``ImplicitKeyword`` defaults).
 
@@ -132,7 +153,7 @@ def implicit_pool_auction(
 
     f_bid = dist.laplace_cdf(bid, bid_loc, bid_scale)
     p_win = jnp.where(k > 0, f_bid ** jnp.maximum(k, 1.0), 1.0)
-    impressions = dist.binomial(k_imp, n_auctions, p_win)
+    impressions = binomial_fn(k_imp, n_auctions, p_win)
 
     # cost | win: M = max of k Laplace draws given M < bid has CDF
     # (F(y)/F(bid))^k, so M = F^{-1}(F(bid) * u^{1/k}).
@@ -159,6 +180,7 @@ def explicit_auction(
     cost_model: CostModel,
     max_clicks: int,
     dtype=jnp.float32,
+    binomial_fn=dist.binomial,
 ) -> CellAuction:
     """Explicit parametric auction.
 
@@ -176,7 +198,7 @@ def explicit_auction(
     """
     k_imp, k_cost = jax.random.split(key)
     rate = dist.threshold_sigmoid(bid, imp_thresh, imp_intercept, imp_slope)
-    impressions = dist.binomial(k_imp, n_auctions, rate)
+    impressions = binomial_fn(k_imp, n_auctions, rate)
 
     shape = (max_clicks,) + bid.shape
     if cost_model is CostModel.RUST_QUIRK:
@@ -201,6 +223,7 @@ def run_cell_auctions(
 ) -> CellAuction:
     """Dispatch on the env's (static) keyword kind/competitor model."""
     m = cfg.max_clicks_per_cell if max_clicks is None else max_clicks
+    bfn = cell_binomial_fn(cfg, m)
     if cfg.kind is KeywordKind.EXPLICIT:
         return explicit_auction(
             key,
@@ -212,11 +235,12 @@ def run_cell_auctions(
             cfg.cost_model,
             m,
             dtype=dtype,
+            binomial_fn=bfn,
         )
     if cfg.competitor_model is CompetitorModel.SINGLE_ABS_CENTS:
         return implicit_single_auction(
             key, bids, n_auctions, kw.bid_loc, kw.bid_scale, m, dtype=dtype,
-            lane_bits=cfg.lane_bits,
+            lane_bits=cfg.lane_bits, binomial_fn=bfn,
         )
     return implicit_pool_auction(
         key,
@@ -228,4 +252,5 @@ def run_cell_auctions(
         kw.participation_rate,
         m,
         dtype=dtype,
+        binomial_fn=bfn,
     )

@@ -174,6 +174,19 @@ class EnvConfig:
     # always use 32.
     lane_bits: int = 32
 
+    # Binomial sampler for the hot-path draws whose n is bounded by the
+    # static click buffer (impressions, buyside clicks, conversion counts):
+    #   "exact"     (default) jax.random.binomial — inversion/BTRS rejection
+    #               loops, several uniforms per draw; the stream the
+    #               injected-draw oracle tests pin.
+    #   "inversion" one-uniform exact inverse-CDF walk over the <= nmax+1
+    #               CDF terms (distributions.binomial_inv) — half a threefry
+    #               word per draw at lane_bits=16. Distribution-identical up
+    #               to O(n*eps_f32) CDF rounding; different stream. Used by
+    #               bench.py. The binomial-pool bidder-count draw (n =
+    #               max_bidders, not buffer-bounded) always stays "exact".
+    binomial_sampler: str = "exact"
+
     # Day-simulation kernel for the batched (VectorBiddingEnv) step:
     # "xla" (default) is the fused jnp step — key-driven, oracle-parity
     # tested; "pallas" is the VMEM-resident fused TPU kernel
@@ -203,6 +216,8 @@ class EnvConfig:
             raise ValueError("rev_sampling must be 'lanes' or 'sum'")
         if self.lane_bits not in (16, 32):
             raise ValueError("lane_bits must be 16 or 32")
+        if self.binomial_sampler not in ("exact", "inversion"):
+            raise ValueError("binomial_sampler must be 'exact' or 'inversion'")
 
     # ---- derived static shapes ----
 

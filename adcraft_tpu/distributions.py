@@ -99,6 +99,55 @@ def binomial(key: Array, n: Array, p: Array, shape=None) -> Array:
     return jnp.clip(draw, 0.0, n).astype(jnp.int32)
 
 
+def binomial_inv(
+    key: Array, n: Array, p: Array, nmax: int, bits: int = 32, shape=None
+) -> Array:
+    """Binomial(n, p) draws by exact inverse-CDF walk, for small static n.
+
+    ``jax.random.binomial`` pays for generality: it evaluates both an
+    inversion while_loop and a BTRS rejection loop per draw (several
+    uniforms each, and under ``vmap`` every loop runs to the batch max).
+    The env's hot-path binomials all have n bounded by the static click
+    buffer (n <= nmax ~ 24-64), where a direct CDF walk is cheaper and
+    spends exactly ONE uniform per draw (HALF a threefry word at
+    ``bits=16``):
+
+        count = #{ j in [0, nmax) : P(X <= j) < u }   (== the quantile
+        function min{k : CDF(k) >= u}, i.e. exact inverse-CDF sampling)
+
+    The pmf ladder is built by the stable ratio recurrence on
+    q = min(p, 1-p) (so the start term (1-q)^n >= 2^-n never underflows
+    and the ratio q/(1-q) <= 1), flipping the count to n - count when
+    p > 1/2. f32 CDF rounding perturbs bucket probabilities by O(n*eps)
+    ~ 1e-5 — the same order as the bits=16 uniform quantization (PARITY.md
+    "16-bit lane uniforms"). Stream-incompatible with ``binomial`` (one
+    uniform vs rejection draws); selected by ``EnvConfig.binomial_sampler``.
+    """
+    n = jnp.asarray(n, jnp.float32)
+    p = jnp.clip(jnp.asarray(p, jnp.float32), 0.0, 1.0)
+    if shape is None:
+        shape = jnp.broadcast_shapes(n.shape, p.shape)
+    n = jnp.broadcast_to(n, shape)
+    p = jnp.broadcast_to(p, shape)
+    u = uniform16(key, shape) if bits == 16 else jax.random.uniform(key, shape)
+
+    flip = p > 0.5
+    q = jnp.where(flip, 1.0 - p, p)  # q <= 0.5
+    r = q / (1.0 - q)  # <= 1
+    j = jnp.arange(1.0, nmax + 1.0, dtype=jnp.float32)
+    j = j.reshape((nmax,) + (1,) * len(shape))
+    # pmf_j = pmf_{j-1} * (n - j + 1)/j * r; terms past j = n hit an exact
+    # zero factor (n integer), and the clamp keeps any j > n+1 negativity out
+    f = jnp.maximum((n[None] - (j - 1.0)) / j * r[None], 0.0)
+    pmf0 = (1.0 - q) ** n
+    pmf = jnp.concatenate([pmf0[None], pmf0[None] * jnp.cumprod(f, axis=0)])
+    cdf = jnp.cumsum(pmf, axis=0)  # cdf[j] = P(X <= j), j = 0..nmax
+    cnt = jnp.sum((cdf[:nmax] < u[None]).astype(jnp.int32), axis=0, dtype=jnp.int32)
+    ni = jnp.round(n).astype(jnp.int32)
+    cnt = jnp.clip(cnt, 0, ni)
+    return jnp.where(flip, ni - cnt, cnt).astype(jnp.int32)
+
+
 def rev_normal_cents(
     key: Array, mean: Array, std: Array, shape, dtype=jnp.float32
 ) -> Array:

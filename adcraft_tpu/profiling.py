@@ -58,3 +58,66 @@ def trace(logdir: str = "/tmp/adcraft_trace"):
     """jax.profiler trace context (view with tensorboard/xprof)."""
     with jax.profiler.trace(logdir):
         yield
+
+
+def prng_words_per_env_day(cfg, num_keywords: Optional[int] = None):
+    """32-bit threefry words one env consumes per simulated day.
+
+    The step is random-bits-bound (PLAN.md "Roofline"), so this count
+    divided by the measured threefry word rate is the honest per-chip
+    throughput ceiling for a config. Well-defined only for the
+    reduced-draw samplers (``binomial_sampler="inversion"``) —
+    ``jax.random.binomial``'s rejection path consumes a data-dependent
+    number of words — and for non-pool competitor models; returns None
+    otherwise.
+    """
+    from adcraft_tpu.config import CompetitorModel, KeywordKind
+
+    if cfg.binomial_sampler != "inversion":
+        return None
+    if (
+        cfg.kind is KeywordKind.IMPLICIT
+        and cfg.competitor_model is CompetitorModel.BINOMIAL_POOL
+    ):
+        return None  # bidder-count draw stays on the rejection sampler
+    k = cfg.num_keywords if num_keywords is None else num_keywords
+    t = cfg.timesteps_per_day
+    half = 0.5 if cfg.lane_bits == 16 else 1.0
+    lanes = (cfg.max_clicks_per_cell + (t - 1) * cfg.max_clicks_rest) * k
+    words = float(k)  # daily volume normals (1 word per f32 normal)
+    # cost lanes: the implicit-single sampler honors lane_bits; the
+    # explicit cost models always draw full-word normals
+    cost_half = half if cfg.kind is KeywordKind.IMPLICIT else 1.0
+    words += lanes * cost_half
+    # conversion draws: per-lane flags or one inversion binomial per cell
+    words += lanes if cfg.conv_sampling == "lanes" else t * k * half
+    # revenue draws: per-lane normals or one aggregate normal per cell
+    words += lanes if cfg.rev_sampling == "lanes" else t * k
+    # impressions + clicks inversion binomials (one uniform each)
+    words += 2 * t * k * half
+    return words
+
+
+def measure_threefry_words_per_sec(
+    num_words: int = 1 << 25, iters: int = 8
+) -> float:
+    """Measured threefry uniform generation rate (words/s) on this backend.
+
+    Each f32 ``jax.random.uniform`` consumes one 32-bit threefry word; the
+    rate bounds any sampling-dominated step (PLAN.md "Roofline").
+    """
+    import jax.numpy as jnp
+
+    @jax.jit
+    def gen(key):
+        return jnp.sum(jax.random.uniform(key, (num_words,)))
+
+    key = jax.random.PRNGKey(0)
+    synchronize(gen(key))  # compile + warm
+    t0 = time.perf_counter()
+    acc = 0.0
+    for i in range(iters):
+        acc += synchronize(gen(jax.random.fold_in(key, i)))
+    dt = time.perf_counter() - t0
+    assert acc == acc  # not nan
+    return num_words * iters / dt

@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from adcraft_tpu import distributions as dist
-from adcraft_tpu.auction import run_cell_auctions
+from adcraft_tpu.auction import cell_binomial_fn, run_cell_auctions
 from adcraft_tpu.config import EnvConfig
 from adcraft_tpu.keywords import KeywordState
 
@@ -338,7 +338,7 @@ def _cell_tables(cfg: EnvConfig, k_cells, kw, bids, t, n_auc_t, m: int, dtype):
         cfg, k_auc, bids, n_auc_t, kw, dtype=dtype, max_clicks=m
     )
     # buyside click coinflips per candidate (synthetic_kw_classes.py:207-219)
-    n_clicks = dist.binomial(k_click, cell.n_candidates, kw.bctr)
+    n_clicks = cell_binomial_fn(cfg, m)(k_click, cell.n_candidates, kw.bctr)
     # prefix-sum the clicked-cost draws for budget gating. Cents models
     # gate in exact integer cents (cfg.cents_costs — association-free,
     # exact even in f32 mode); continuous models gate in the money
@@ -508,12 +508,12 @@ def simulate_day(
         # distribution to consuming the first `accepted` iid flips, one
         # count draw per cell instead of an (M, K) flag table. Same
         # k_conv key slot as the lanes path (stream differs; see config).
-        def _nconv_counts(t, accepted):
+        def _nconv_counts(t, accepted, m):
             kt = jax.random.fold_in(k_cells, t)
             k_conv = jax.random.split(kt, 4)[2]
-            return dist.binomial(k_conv, accepted, kw.sctr)
+            return cell_binomial_fn(cfg, m)(k_conv, accepted, kw.sctr)
 
-        nconv0 = _nconv_counts(jnp.asarray(0), acc0)
+        nconv0 = _nconv_counts(jnp.asarray(0), acc0, cfg.max_clicks_per_cell)
     else:
         nconv0 = jnp.take_along_axis(vpre0, acc0[None, :], axis=0)[0]
     if rev_sum:
@@ -546,7 +546,9 @@ def simulate_day(
     out0 = cell_out(imp0, acc0, spend0, nconv0, rev0, sim0, n_auctions[0])
     if T > 1:
         if counts:
-            nconv1 = jax.vmap(_nconv_counts)(jnp.arange(1, T), acc1)
+            nconv1 = jax.vmap(
+                lambda t, a: _nconv_counts(t, a, cfg.max_clicks_rest)
+            )(jnp.arange(1, T), acc1)
         elif cfg.gate_scope == "global":  # conv table is (M1+1, T-1, K)
             nconv1 = jnp.take_along_axis(vpre1, acc1[None, :, :], axis=0)[0]
         else:  # (T-1, M1+1, K)
@@ -630,7 +632,7 @@ def sample_day_draws(
         cell = run_cell_auctions(
             cfg, k_auc, bids, n_auctions[t], kw, dtype=dtype, max_clicks=m
         )
-        n_clicks = dist.binomial(k_click, cell.n_candidates, kw.bctr)
+        n_clicks = cell_binomial_fn(cfg, m)(k_click, cell.n_candidates, kw.bctr)
         conv_flags = jax.random.uniform(k_conv, (m, K)) <= kw.sctr[None, :]
         rev_draws = dist.rev_normal_cents(
             k_rev, kw.rev_mean[None, :], kw.rev_std[None, :], (m, K), dtype=dtype

@@ -5,18 +5,26 @@ Reference baseline (BASELINE.md): ~1.4-2.4 env-steps/s on CPU for a
 env-steps/s used as the comparison point. North star: >= 1M env-steps/s
 per chip at 4096 vectorized envs.
 
-Prints ONE JSON line:
+Prints ONE JSON line. Headline fields:
   {"metric": "env_steps_per_sec_per_chip", "value": N,
-   "unit": "env-steps/s/chip", "vs_baseline": N}
+   "unit": "env-steps/s/chip", "vs_baseline": N, ...}
+plus (unless BENCH_QUICK=1):
+  "scaling"  — env-batch scaling points (reference timing had none),
+  "regimes"  — the reference's sparse timing config (cells 5-6),
+  "roofline" — threefry words/env-day, measured words/s, and the
+               PRNG-bound throughput ceiling this config can ever reach
+               (PLAN.md "Roofline"; VERDICT r1 item 1/6).
 
 Runs on whatever backend JAX selects (the driver runs it on one real TPU
-chip). Config matches the reference's densest timing run: 100 implicit
-quantile keywords, mean_volume=128, cvr=0.8, 1000 budget.
+chip). Headline config matches the reference's densest timing run: 100
+implicit quantile keywords, mean_volume=128, cvr=0.8, 1000 budget —
+with the reduced-draw sampling modes (conv counts, aggregate revenue,
+16-bit lane uniforms, inversion binomials; each validated in
+tests/test_step.py, deviations documented in PARITY.md).
 """
 
 import json
 import os
-import sys
 import time
 
 # persistent compilation cache: the tunneled axon backend compiles this
@@ -32,62 +40,112 @@ import jax.numpy as jnp
 NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 4096))
 NUM_KEYWORDS = int(os.environ.get("BENCH_NUM_KEYWORDS", 100))
 STEPS = int(os.environ.get("BENCH_STEPS", 12))
+QUICK = os.environ.get("BENCH_QUICK", "0") == "1"
 BASELINE_ENV_STEPS_PER_SEC = 1.9  # BASELINE.md derived midpoint
 
 
-def main() -> None:
+def bench_cfg(max_volume: int = 576):
     from adcraft_tpu.config import EnvConfig, KeywordKind
-    from adcraft_tpu.env import VectorBiddingEnv
-    from adcraft_tpu.quantiles import simple_experiment_table
 
-    cfg = EnvConfig(
+    return EnvConfig(
         num_keywords=NUM_KEYWORDS,
         kind=KeywordKind.IMPLICIT,
-        max_volume=576,  # covers round(N(128, 1+64)) draws
+        max_volume=max_volume,
         max_days=60,
         day_kernel=os.environ.get("BENCH_KERNEL", "xla"),
         prng_impl=os.environ.get("BENCH_PRNG", "threefry2x32"),
-        # Binomial(accepted, sctr) conversion counts instead of per-lane
-        # flag tables: distribution-identical, removes a third of the
-        # step's random draws (adcraft_tpu.config.EnvConfig.conv_sampling)
+        # reduced-draw sampling modes (the step is random-bits-bound;
+        # see the roofline output + PLAN.md). Each is distribution-
+        # validated; "lanes"/"exact"/32 are the injected-parity paths.
         conv_sampling=os.environ.get("BENCH_CONV", "counts"),
+        rev_sampling=os.environ.get("BENCH_REV", "sum"),
+        lane_bits=int(os.environ.get("BENCH_LANE_BITS", "16")),
+        binomial_sampler=os.environ.get("BENCH_BINOM", "inversion"),
         # one whole-day lazy gate beats 24 per-sub-timestep gates here
-        # (lazy sweeps are O(T*K + M), so the global scope's long-chain
-        # hazard that sank the Jacobi gate does not apply): 8,834 -> 9,116
         gate_scope=os.environ.get("BENCH_GATE_SCOPE", "global"),
     )
-    table = simple_experiment_table(128, 0.8)
-    venv = VectorBiddingEnv(cfg, NUM_ENVS, table=table)
 
+
+def measure(cfg, num_envs: int, table, steps: int = STEPS) -> float:
+    """env-steps/s for one config; synchronizes by fetching a scalar
+    (on the tunneled axon backend block_until_ready returns early,
+    silently inflating throughput ~400x)."""
+    from adcraft_tpu.env import VectorBiddingEnv
+
+    venv = VectorBiddingEnv(cfg, num_envs, table=table)
     key = jax.random.PRNGKey(0)
     state, _ = venv.reset(key)
-    bids = jnp.full((NUM_ENVS, NUM_KEYWORDS), 1.0, jnp.float32)
-
-    # compile + warm up. NB: fetch a scalar to synchronize — on the
-    # tunneled axon backend block_until_ready returns before execution
-    # finishes, which silently inflates throughput ~400x.
-    state, ts = venv.step(state, bids)
+    bids = jnp.full((num_envs, cfg.num_keywords), 1.0, jnp.float32)
+    state, ts = venv.step(state, bids)  # compile + warm
     float(ts.reward.sum())
-
     t0 = time.perf_counter()
-    for _ in range(STEPS):
+    for _ in range(steps):
         state, ts = venv.step(state, bids)
     float(ts.reward.sum())
     dt = time.perf_counter() - t0
+    return num_envs * steps / dt
 
-    env_steps_per_sec = NUM_ENVS * STEPS / dt
-    n_chips = jax.device_count()
-    per_chip = env_steps_per_sec / n_chips
-    print(
-        json.dumps(
-            {
-                "metric": "env_steps_per_sec_per_chip",
-                "value": round(per_chip, 1),
-                "unit": "env-steps/s/chip",
-                "vs_baseline": round(per_chip / BASELINE_ENV_STEPS_PER_SEC, 1),
-            }
-        )
+
+def main() -> None:
+    from adcraft_tpu.profiling import (
+        measure_threefry_words_per_sec,
+        prng_words_per_env_day,
     )
+    from adcraft_tpu.quantiles import simple_experiment_table
+
+    n_chips = jax.device_count()
+    dense = simple_experiment_table(128, 0.8)
+    cfg = bench_cfg()
+
+    headline = measure(cfg, NUM_ENVS, dense) / n_chips
+    out = {
+        "metric": "env_steps_per_sec_per_chip",
+        "value": round(headline, 1),
+        "unit": "env-steps/s/chip",
+        "vs_baseline": round(headline / BASELINE_ENV_STEPS_PER_SEC, 1),
+        "config": {
+            "num_envs": NUM_ENVS,
+            "num_keywords": NUM_KEYWORDS,
+            "regime": "dense (mean_volume=128, cvr=0.8)",
+            "conv_sampling": cfg.conv_sampling,
+            "rev_sampling": cfg.rev_sampling,
+            "lane_bits": cfg.lane_bits,
+            "binomial_sampler": cfg.binomial_sampler,
+        },
+    }
+
+    if not QUICK:
+        # env-batch scaling (VERDICT r1 item 6)
+        scaling = {str(NUM_ENVS): round(headline, 1)}
+        points = os.environ.get("BENCH_SCALING", "1024,8192")
+        for e in (int(x) for x in points.split(",") if x):
+            if e != NUM_ENVS:
+                scaling[str(e)] = round(measure(cfg, e, dense) / n_chips, 1)
+        out["scaling"] = scaling
+
+        # the reference's sparse timing regime (cells 5-6: vol=16, cvr=0.1)
+        sparse = simple_experiment_table(16, 0.1)
+        sparse_cfg = bench_cfg(max_volume=128)  # covers round(N(16, 1+8))
+        out["regimes"] = {
+            "very_sparse_16_0.1": round(
+                measure(sparse_cfg, NUM_ENVS, sparse) / n_chips, 1
+            )
+        }
+
+        # PRNG roofline: the step is random-bits-bound, so words/day and
+        # the measured threefry rate bound what this config can reach.
+        words = prng_words_per_env_day(cfg)
+        rate = measure_threefry_words_per_sec()
+        if words:
+            ceiling = rate / words
+            out["roofline"] = {
+                "prng_words_per_env_day": round(words),
+                "threefry_words_per_sec": round(rate),
+                "prng_bound_env_steps_per_sec": round(ceiling, 1),
+                "prng_utilization": round(headline * n_chips / ceiling, 3),
+            }
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -109,6 +109,62 @@ def test_binomial_degenerate(key):
 
 
 @pytest.mark.unit
+@pytest.mark.parametrize("n,p", [(10, 0.3), (47, 0.94), (5, 0.5), (24, 0.05)])
+def test_binomial_inv_matches_exact_pmf(key, n, p):
+    """Inverse-CDF binomial must reproduce the exact Binomial pmf."""
+    draws = np.asarray(
+        dist.binomial_inv(key, jnp.full((200_000,), float(n)), jnp.full((200_000,), p), nmax=48)
+    )
+    assert draws.min() >= 0 and draws.max() <= n
+    # exact pmf in float64
+    pmf = np.zeros(n + 1)
+    pmf[0] = (1 - p) ** n
+    for j in range(1, n + 1):
+        pmf[j] = pmf[j - 1] * (n - j + 1) / j * (p / (1 - p))
+    emp = np.bincount(draws, minlength=n + 1) / draws.size
+    # 5-sigma tolerance per bucket
+    tol = 5.0 * np.sqrt(np.maximum(pmf * (1 - pmf), 1e-12) / draws.size)
+    assert np.all(np.abs(emp - pmf) <= tol + 1e-4)
+
+
+@pytest.mark.unit
+def test_binomial_inv_is_the_quantile_function(key):
+    """bits=16 makes the consumed uniform reconstructable: the output must
+    be the Binomial quantile function min{k : CDF(k) >= u} of that uniform
+    (up to f32-vs-f64 CDF rounding at bucket boundaries)."""
+    n, p = 20, 0.37
+    shape = (4096,)
+    out = np.asarray(
+        dist.binomial_inv(
+            key, jnp.full(shape, float(n)), jnp.full(shape, p), nmax=32, bits=16
+        )
+    )
+    bits = np.asarray(jax.random.bits(key, shape, dtype=jnp.uint16))
+    u = (bits.astype(np.float64) + 0.5) / 65536.0
+    pmf = np.zeros(n + 1)
+    pmf[0] = (1 - p) ** n
+    for j in range(1, n + 1):
+        pmf[j] = pmf[j - 1] * (n - j + 1) / j * (p / (1 - p))
+    cdf = np.cumsum(pmf)
+    expected = np.searchsorted(cdf, u, side="left")
+    mismatch = out != expected
+    assert np.abs(out - expected).max(initial=0) <= 1  # boundary rounding only
+    assert mismatch.mean() < 0.005
+
+
+@pytest.mark.unit
+def test_binomial_inv_degenerate_and_heterogeneous(key):
+    ns = jnp.asarray([0.0, 7.0, 7.0, 3.0, 48.0])
+    ps = jnp.asarray([0.5, 0.0, 1.0, 0.4, 0.99])
+    out = np.asarray(dist.binomial_inv(key, ns, ps, nmax=48))
+    assert out[0] == 0  # n = 0
+    assert out[1] == 0  # p = 0
+    assert out[2] == 7  # p = 1
+    assert 0 <= out[3] <= 3
+    assert 0 <= out[4] <= 48
+
+
+@pytest.mark.unit
 def test_rev_normal_cents(key):
     draws = dist.rev_normal_cents(key, 1.0, 0.25, (100_000,))
     # floored at 0.01 and on the cents grid

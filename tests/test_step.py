@@ -367,6 +367,43 @@ def test_lane_bits16_cost_distribution():
 
 
 @pytest.mark.unit
+@pytest.mark.parametrize("seed", range(3))
+def test_binomial_inversion_injected_parity(seed):
+    """binomial_sampler="inversion" stays bit-parity-testable:
+    sample_day_draws mirrors the same inverse-CDF draws, so the injected
+    oracle must still match exactly (the gate semantics are untouched)."""
+    cfg = IMPLICIT_CFG.replace(binomial_sampler="inversion", lane_bits=16)
+    kw = implicit_kw(cfg.num_keywords, seed + 60)
+    bids = np.random.default_rng(seed).uniform(0.3, 2.0, cfg.num_keywords)
+    _assert_day_matches_oracle(cfg, kw, bids, 20.0, seed)
+
+
+@pytest.mark.unit
+def test_binomial_inversion_matches_exact_distribution():
+    """The inversion sampler must match jax.random.binomial in
+    distribution through the full day step (impressions, clicks,
+    conversions means over 256 episodes)."""
+    kw = implicit_kw(IMPLICIT_CFG.num_keywords, 13)
+    bids = jnp.full((IMPLICIT_CFG.num_keywords,), 1.0)
+    keys = jax.random.split(jax.random.PRNGKey(31), 256)
+    outs = {}
+    for mode in ("exact", "inversion"):
+        cfg = IMPLICIT_CFG.replace(binomial_sampler=mode)
+        fn = jax.jit(
+            jax.vmap(
+                lambda k: simulate_day(cfg, k, kw, bids, jnp.asarray(1000.0))
+            )
+        )
+        outs[mode] = jax.tree.map(np.asarray, fn(keys))
+    for field in ("impressions", "buyside_clicks", "sellside_conversions"):
+        a = getattr(outs["exact"], field).mean()
+        b = getattr(outs["inversion"], field).mean()
+        np.testing.assert_allclose(a, b, rtol=0.05, err_msg=field)
+    # volume is upstream of any binomial — bit-identical
+    np.testing.assert_array_equal(outs["exact"].volume, outs["inversion"].volume)
+
+
+@pytest.mark.unit
 def test_lazy_gate_fuzz_vs_scan_gate():
     """Randomized adversarial gate inputs (zero costs, zero budgets,
     break-at-every-position): lazy must equal the sequential scan gate
