@@ -99,25 +99,32 @@ def prng_words_per_env_day(cfg, num_keywords: Optional[int] = None):
 
 
 def measure_threefry_words_per_sec(
-    num_words: int = 1 << 25, iters: int = 8
+    num_words: int = 1 << 25, iters: int = 32
 ) -> float:
     """Measured threefry uniform generation rate (words/s) on this backend.
 
     Each f32 ``jax.random.uniform`` consumes one 32-bit threefry word; the
-    rate bounds any sampling-dominated step (PLAN.md "Roofline").
+    rate bounds any sampling-dominated step (PLAN.md "Roofline"). The
+    ``iters`` generations run inside ONE jit program (lax.fori_loop) with a
+    single host sync at the end — per-dispatch round-trips through the axon
+    tunnel are ~100 ms, which otherwise understates the rate ~16x.
     """
     import jax.numpy as jnp
+    from jax import lax
 
     @jax.jit
     def gen(key):
-        return jnp.sum(jax.random.uniform(key, (num_words,)))
+        def body(i, acc):
+            # full jnp.sum so XLA cannot dead-code-eliminate any lane
+            u = jax.random.uniform(jax.random.fold_in(key, i), (num_words,))
+            return acc + jnp.sum(u)
+
+        return lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
     key = jax.random.PRNGKey(0)
     synchronize(gen(key))  # compile + warm
     t0 = time.perf_counter()
-    acc = 0.0
-    for i in range(iters):
-        acc += synchronize(gen(jax.random.fold_in(key, i)))
+    acc = synchronize(gen(jax.random.fold_in(key, 1)))
     dt = time.perf_counter() - t0
     assert acc == acc  # not nan
     return num_words * iters / dt

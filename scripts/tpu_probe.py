@@ -38,11 +38,20 @@ def time_step(tag):
     from adcraft_tpu.env import VectorBiddingEnv
     from adcraft_tpu.quantiles import simple_experiment_table
 
+    # mirror bench.py's config (same env knobs) so "full" hits the warm
+    # compile cache and ablations decompose the actual bench path
     cfg = EnvConfig(
         num_keywords=NUM_KEYWORDS,
         kind=KeywordKind.IMPLICIT,
         max_volume=576,
         max_days=60,
+        day_kernel=os.environ.get("BENCH_KERNEL", "xla"),
+        prng_impl=os.environ.get("BENCH_PRNG", "threefry2x32"),
+        conv_sampling=os.environ.get("BENCH_CONV", "counts"),
+        rev_sampling=os.environ.get("BENCH_REV", "sum"),
+        lane_bits=int(os.environ.get("BENCH_LANE_BITS", "16")),
+        binomial_sampler=os.environ.get("BENCH_BINOM", "inversion"),
+        gate_scope=os.environ.get("BENCH_GATE_SCOPE", "global"),
     )
     table = simple_experiment_table(128, 0.8)
     venv = VectorBiddingEnv(cfg, NUM_ENVS, table=table)
@@ -118,6 +127,7 @@ def patch_nogate():
         return (budget0, broken0), (n_clicks, spend, sim)
 
     step_mod._gate_keywords_jacobi = accept_all
+    step_mod._gate_keywords_lazy = accept_all  # bench path (cents → lazy)
 
 
 def patch_nobinom():
@@ -135,6 +145,11 @@ def patch_nobinom():
     dist_mod.binomial = det_binomial
     auction_mod.dist.binomial = det_binomial
     step_mod.dist.binomial = det_binomial
+
+    def det_binomial_inv(key, n, p, nmax=0, bits=32, shape=None):
+        return det_binomial(key, n, p, shape)
+
+    dist_mod.binomial_inv = det_binomial_inv  # bench path (inversion mode)
 
 
 if __name__ == "__main__":
