@@ -61,9 +61,11 @@ def update_rpc_cache(cache: RpcCache, obs: dict) -> RpcCache:
     Reproduces its quirks: sctr is click-weighted against a step-counted
     denominator, and num_sctr_obs increments once per step with clicks.
     """
-    clicks = jnp.asarray(obs["buyside_clicks"], jnp.float32)
-    convs = jnp.asarray(obs["sellside_conversions"], jnp.float32)
-    revenue = jnp.asarray(obs["revenue"], jnp.float32)
+    # accumulate in the cache's dtype (f64 under x64 parity tests)
+    dt = cache.ave_rpc.dtype
+    clicks = jnp.asarray(obs["buyside_clicks"]).astype(dt)
+    convs = jnp.asarray(obs["sellside_conversions"]).astype(dt)
+    revenue = jnp.asarray(obs["revenue"]).astype(dt)
 
     has_clicks = clicks > 0
     has_rev = has_clicks & (convs > 0)
@@ -205,44 +207,83 @@ class InterpolationState(NamedTuple):
     prev_bids: Array  # f32 (K,)
 
 
-def _bartlett5(values: Array) -> Array:
-    """Smooth along the last axis with the reference's 5-point Bartlett
-    window (interpolated_expectations.py:203-211, normalized hat filter)."""
-    w = jnp.asarray([1.0, 2.0, 3.0, 2.0, 1.0])
-    w = w / w.sum()
-    pad = jnp.pad(values, [(0, 0)] * (values.ndim - 1) + [(2, 2)])
-    return jax.vmap(lambda row: jnp.convolve(row, w, mode="valid"))(
-        pad.reshape((-1, pad.shape[-1]))
-    ).reshape(values.shape)
+def _compact_smooth(values: Array, observed: Array) -> Array:
+    """The reference's ``smoothed`` over the COMPACT observed-point sequence.
+
+    ``smoothed`` (interpolated_expectations.py:203-211) convolves the
+    vector of observed-bin averages — NOT the dense bid grid — with a
+    Bartlett window of length ``min(5, max(1, n-1))`` for n observed
+    points. ``np.bartlett`` endpoints are zero, so this collapses to:
+
+    * n <= 4: identity (lengths 1-2 have zero mass -> [1]; length 3 is
+      the [0, 1, 0] hat);
+    * n == 5: length-4 window == backward pair average
+      ``out[i] = (v[i-1] + v[i]) / 2`` (np.convolve 'same' centering),
+      first element halved (zero pad);
+    * n >= 6: length-5 window == [.25, .5, .25] over observed NEIGHBORS,
+      zero-padded at the sequence ends.
+
+    Returned values are meaningful only at observed bins. Neighbor means
+    the previous/next OBSERVED bin, however far away on the grid.
+    """
+    B = values.shape[-1]
+    idx = jnp.arange(B)
+    big = B + 1
+    # nearest observed index at or left/right of each bin
+    left_incl = jax.lax.associative_scan(jnp.maximum, jnp.where(observed, idx, -1))
+    right_incl = jnp.flip(
+        jax.lax.associative_scan(jnp.minimum, jnp.flip(jnp.where(observed, idx, big)))
+    )
+    # previous/next observed STRICTLY before/after each bin
+    prev = jnp.concatenate([jnp.full((1,), -1), left_incl[:-1]])
+    nxt = jnp.concatenate([right_incl[1:], jnp.full((1,), big)])
+    prev_v = jnp.where(prev >= 0, values[jnp.clip(prev, 0, B - 1)], 0.0)
+    next_v = jnp.where(nxt < big, values[jnp.clip(nxt, 0, B - 1)], 0.0)
+    n = jnp.sum(observed.astype(jnp.int32))
+    sm = jnp.where(
+        n >= 6,
+        0.25 * prev_v + 0.5 * values + 0.25 * next_v,
+        jnp.where(n == 5, 0.5 * prev_v + 0.5 * values, values),
+    )
+    return jnp.where(observed, sm, values)
 
 
-def _interp_observed(grid_vals: Array, observed: Array, query_fill):
-    """Linear interpolation across observed grid bins.
+def _interp_observed(grid_vals: Array, observed: Array, query_x: Array, query_fill):
+    """np.interp over observed CENT-grid points, queried at ``query_x``.
 
-    Equivalent of np.interp over the sparse observed (bid, value) points
-    (interpolated_expectations.py:254-270), vectorized on the fixed grid:
-    for each grid point, find the nearest observed bins on each side and
-    blend. ``query_fill`` = (left_fill, right_fill) values used outside
-    the observed range.
+    Faithful to the reference (interpolated_expectations.py:254-270):
+    the observed x-coordinates are the cent values ``0.01 + 0.01*bin``
+    (cache keys scanned over np.arange(0.01, 3.01, 0.01), :155-165)
+    while the queries are ``np.linspace(0.01, 3.0, 300)`` — a slightly
+    COARSER grid (step 0.0099966), so query j sits just below cent j and
+    np.interp's strict comparisons hand it to the interval on the left
+    (in particular the query at the first observed bin takes the LEFT
+    FILL, a reference off-by-epsilon quirk this reproduces).
+    ``query_fill`` = (left_fill, right_fill) outside the observed range.
     """
     B = grid_vals.shape[-1]
     idx = jnp.arange(B)
     big = B + 1
-    # nearest observed index at or left of each position
-    left = jnp.where(observed, idx, -1)
-    left = jax.lax.associative_scan(jnp.maximum, left)
-    # nearest observed index at or right of each position
-    right = jnp.where(observed, idx, big)
-    right = jnp.flip(
-        jax.lax.associative_scan(jnp.minimum, jnp.flip(right))
+    x_obs = 0.01 + 0.01 * idx.astype(query_x.dtype)  # cent grid
+    left_incl = jax.lax.associative_scan(jnp.maximum, jnp.where(observed, idx, -1))
+    right_incl = jnp.flip(
+        jax.lax.associative_scan(jnp.minimum, jnp.flip(jnp.where(observed, idx, big)))
     )
+    # largest bin with x_obs <= q / smallest with x_obs >= q (exact float
+    # comparisons, like np.interp's)
+    cap = jnp.searchsorted(x_obs, query_x, side="right") - 1
+    lo = jnp.searchsorted(x_obs, query_x, side="left")
+    left = jnp.where(cap >= 0, left_incl[jnp.clip(cap, 0, B - 1)], -1)
+    right = jnp.where(lo <= B - 1, right_incl[jnp.clip(lo, 0, B - 1)], big)
     left_c = jnp.clip(left, 0, B - 1)
     right_c = jnp.clip(right, 0, B - 1)
     lv = grid_vals[left_c]
     rv = grid_vals[right_c]
-    denom = jnp.maximum(right_c - left_c, 1)
-    frac = (idx - left_c) / denom
-    interp = lv + (rv - lv) * frac
+    xl = x_obs[left_c]
+    xr = x_obs[right_c]
+    denom = jnp.where(right_c > left_c, xr - xl, 1.0)
+    frac = jnp.clip((query_x - xl) / denom, 0.0, 1.0)
+    interp = jnp.where(right_c > left_c, lv + (rv - lv) * frac, lv)
     left_fill, right_fill = query_fill
     out = jnp.where(left < 0, left_fill, interp)
     out = jnp.where(right >= big, right_fill, out)
@@ -270,7 +311,11 @@ class NaiveInterpolationStrategy:
         self.num_keywords = num_keywords
         self.threshold = profit_acquisition_threshold
         self.bid_step = bid_step
-        self.allowed_bids = jnp.linspace(0.01, 3.0, num_bins)
+        # np.linspace (not jnp) so the grid's float noise matches the
+        # reference's np.interp queries bit-for-bit under x64
+        import numpy as _np
+
+        self.allowed_bids = jnp.asarray(_np.linspace(0.01, 3.00, num_bins))
         self.num_bins = num_bins
 
     def init(self) -> InterpolationState:
@@ -295,8 +340,9 @@ class NaiveInterpolationStrategy:
         """Fold one day's observation into the caches
         (full_cache_update, interpolated_expectations.py:214-235)."""
         cache = update_rpc_cache(state.cache, obs)
-        clicks = jnp.asarray(obs["buyside_clicks"], jnp.float32)
-        cost = jnp.asarray(obs["cost"], jnp.float32)
+        dt = state.ave_cpc.dtype
+        clicks = jnp.asarray(obs["buyside_clicks"]).astype(dt)
+        cost = jnp.asarray(obs["cost"]).astype(dt)
         cpc = jnp.where(clicks > 0, cost / jnp.maximum(clicks, 1.0), jnp.nan)
         bins = self._bin_of(prev_bids)
         K = self.num_keywords
@@ -336,17 +382,22 @@ class NaiveInterpolationStrategy:
         rev_pc = expected_rev_per_buyside_click(state.cache)  # (K,)
         cpc_obs = state.n_cpc > 0
         clk_obs = state.n_clicks > 0
-        sm_cpc = _bartlett5(jnp.where(cpc_obs, state.ave_cpc, 0.0))
-        sm_clk = _bartlett5(jnp.where(clk_obs, state.ave_clicks, 0.0))
 
-        def per_kw(sm_cpc_k, cpc_obs_k, ave_cpc_k, sm_clk_k, clk_obs_k, ave_clk_k):
+        def per_kw(cpc_obs_k, ave_cpc_k, clk_obs_k, ave_clk_k):
             any_obs = jnp.any(cpc_obs_k)
+            sm_cpc_k = _compact_smooth(ave_cpc_k, cpc_obs_k)
+            sm_clk_k = _compact_smooth(ave_clk_k, clk_obs_k)
             max_cpc = jnp.max(jnp.where(cpc_obs_k, ave_cpc_k, -jnp.inf))
-            cpc = _interp_observed(sm_cpc_k, cpc_obs_k, (0.01, max_cpc))
+            cpc = _interp_observed(
+                sm_cpc_k, cpc_obs_k, self.allowed_bids, (0.01, max_cpc)
+            )
             first_clk = jnp.argmax(clk_obs_k)
             last_clk = self.num_bins - 1 - jnp.argmax(jnp.flip(clk_obs_k))
             clk = _interp_observed(
-                sm_clk_k, clk_obs_k, (ave_clk_k[first_clk], ave_clk_k[last_clk])
+                sm_clk_k,
+                clk_obs_k,
+                self.allowed_bids,
+                (ave_clk_k[first_clk], ave_clk_k[last_clk]),
             )
             # no data: assume cpc = 0.9*bid, 1 click (:271-275)
             cpc = jnp.where(any_obs, cpc, 0.9 * self.allowed_bids)
@@ -354,15 +405,20 @@ class NaiveInterpolationStrategy:
             return cpc, clk
 
         cpc, clk = jax.vmap(per_kw)(
-            sm_cpc, cpc_obs, state.ave_cpc, sm_clk, clk_obs, state.ave_clicks
+            cpc_obs, state.ave_cpc, clk_obs, state.ave_clicks
         )
         margins = (-cpc + rev_pc[:, None]) * (0.01 + clk)
         costs = cpc * (0.01 + clk)
         return margins, costs
 
-    def act(self, state: InterpolationState, key: Array):
-        """Sample bids from the profit acquisition distribution
-        (sample_action, interpolated_expectations.py:405-439)."""
+    def acquisition(self, state: InterpolationState):
+        """(margins, costs, probs, has_mass) per keyword.
+
+        The normalized profit-acquisition distribution over the bid grid
+        (get_profit_acquisition_function,
+        interpolated_expectations.py:370-398); ``has_mass=False`` is the
+        reference's ``None`` return (bid 0.01).
+        """
         margins, costs = self.expected_margins(state)
         cache = state.cache
         # adaptive threshold loosens with observations (:377-384)
@@ -370,25 +426,37 @@ class NaiveInterpolationStrategy:
             1.0 / (1.0 + cache.num_rpc_obs + cache.num_sctr_obs / 5.0)
         ) * jnp.abs(self.threshold)
         acq = jnp.maximum(margins, thresh[:, None]) - thresh[:, None]
-        # zero out bids beyond max observed bid + step (:386-393)
+        # zero out bids beyond max observed bid + step (:386-393). The
+        # observed-bid keys are CENT values; int() truncates (under f32
+        # the truncation can differ from the reference's f64 by one bin
+        # when 100*(mob+step) sits on an integer — PARITY.md).
         observed_any = state.n_clicks > 0
-        max_obs_bid = jnp.max(
-            jnp.where(observed_any, self.allowed_bids[None, :], 0.03), axis=1
-        )
+        bin_idx = jnp.arange(self.num_bins)
+        max_obs_bin = jnp.max(jnp.where(observed_any, bin_idx[None, :], -1), axis=1)
+        cents = 0.01 + 0.01 * max_obs_bin.astype(margins.dtype)
+        max_obs_bid = jnp.maximum(cents, 0.03)
         end_index = jnp.minimum(
-            (100 * (max_obs_bid + self.bid_step) - 1).astype(jnp.int32),
+            (100.0 * (max_obs_bid + self.bid_step) - 1.0).astype(jnp.int32),
             self.num_bins,
         )
-        lane = jnp.arange(self.num_bins)[None, :]
-        acq = jnp.where(lane < end_index[:, None], acq, 0.0)
+        acq = jnp.where(bin_idx[None, :] < end_index[:, None], acq, 0.0)
         mass = jnp.sum(acq, axis=1)
         has_mass = mass > 0
-
         probs = acq / jnp.maximum(mass[:, None], 1e-30)
-        keys = jax.random.split(key, self.num_keywords)
-        idx = jax.vmap(
-            lambda k, p: jax.random.choice(k, self.num_bins, p=p)
-        )(keys, jnp.where(has_mass[:, None], probs, 1.0 / self.num_bins))
+        return margins, costs, probs, has_mass
+
+    def act(self, state: InterpolationState, key: Array, idx: Array = None):
+        """Sample bids from the profit acquisition distribution
+        (sample_action, interpolated_expectations.py:405-439). ``idx``
+        pins the per-keyword grid choices (parity tests) instead of
+        sampling them."""
+        margins, costs, probs, has_mass = self.acquisition(state)
+        cache = state.cache
+        if idx is None:
+            keys = jax.random.split(key, self.num_keywords)
+            idx = jax.vmap(
+                lambda k, p: jax.random.choice(k, self.num_bins, p=p)
+            )(keys, jnp.where(has_mass[:, None], probs, 1.0 / self.num_bins))
         bids = jnp.where(has_mass, self.allowed_bids[idx], 0.01)
 
         # budget heuristic (:424-439)

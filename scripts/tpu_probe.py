@@ -152,6 +152,31 @@ def patch_nobinom():
     dist_mod.binomial_inv = det_binomial_inv  # bench path (inversion mode)
 
 
+def patch_linearcost():
+    """Cost lanes keep their threefry draws but skip the log inverse-CDF."""
+    from adcraft_tpu import distributions as dist_mod
+
+    def linear_trunc(key, loc, scale, low, high, shape, bits=32):
+        u = (
+            dist_mod.uniform16(key, shape)
+            if bits == 16
+            else jax.random.uniform(key, shape)
+        )
+        return low + (high - low) * u
+
+    dist_mod.truncated_laplace = linear_trunc
+
+
+def patch_nocostdraws():
+    """Cost lanes become a constant table (no threefry, no transform)."""
+    from adcraft_tpu import distributions as dist_mod
+
+    def const_trunc(key, loc, scale, low, high, shape, bits=32):
+        return jnp.broadcast_to(jnp.asarray(0.25, jnp.float32), shape)
+
+    dist_mod.truncated_laplace = const_trunc
+
+
 if __name__ == "__main__":
     variants = sys.argv[1:] or ["full", "fixed4", "nogate", "nobinom"]
     for v in variants:
@@ -164,6 +189,10 @@ if __name__ == "__main__":
         elif v == "nobinom":
             patch_nogate()
             patch_nobinom()
+        elif v == "linearcost":
+            patch_linearcost()
+        elif v == "nocost":
+            patch_nocostdraws()
         else:
             raise SystemExit(f"unknown variant {v}")
         time_step(v)

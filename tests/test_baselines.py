@@ -117,3 +117,101 @@ def test_interpolation_agent_acts_and_learns(key):
     assert np.all(np.isfinite(np.asarray(margins)))
     state, action2 = agent.act(state, jax.random.fold_in(key, 2))
     assert np.asarray(action2["keyword_bids"]).shape == (4,)
+
+
+# ---------------------------------------------------------------------------
+# head-to-head vs the reference-semantics numpy oracle (VERDICT r1 item 3)
+# ---------------------------------------------------------------------------
+
+
+def _synthetic_obs(rng, bids, K):
+    """A bid-responsive synthetic observation day (no env dependency)."""
+    clicks = rng.poisson(np.clip(4.0 * bids, 0.0, 8.0))
+    convs = rng.binomial(clicks, 0.3)
+    revenue = np.round(convs * rng.uniform(1.5, 3.5, K), 2)
+    cost = np.round(clicks * np.clip(0.6 * bids, 0.01, None), 2)
+    return {
+        "impressions": clicks + rng.poisson(2.0, K),
+        "buyside_clicks": clicks.astype(np.float64),
+        "cost": cost,
+        "sellside_conversions": convs.astype(np.float64),
+        "revenue": revenue,
+    }
+
+
+@pytest.mark.unit
+def test_interpolation_head_to_head_vs_reference_oracle():
+    """Drive the jax agent and the reference-semantics oracle agent on one
+    recorded bid/observation stream; caches, margin curves, acquisition
+    distributions and budgets must agree (x64: everything is the same f64
+    arithmetic, so tolerances are tight)."""
+    from adcraft_tpu.oracle.interp_agent import OracleInterpolationStrategy
+
+    K, T = 4, 40
+    rng = np.random.default_rng(7)
+    with jax.enable_x64(True):
+        oracle = OracleInterpolationStrategy(K, seed=3)
+        agent = NaiveInterpolationStrategy(K)
+        state = agent.init()
+
+        for t in range(T):
+            action = oracle.sample_action()
+            o_bids = np.asarray(action["keyword_bids"], np.float64)
+
+            # jax agent replays the oracle's grid choices -> same bids/budget
+            idx = jnp.asarray(
+                [i if i >= 0 else 0 for i in oracle.last_indices], jnp.int32
+            )
+            state, j_action = agent.act(
+                state, jax.random.PRNGKey(t), idx=idx
+            )
+            np.testing.assert_allclose(
+                np.asarray(j_action["keyword_bids"]), o_bids, rtol=0, atol=1e-12,
+                err_msg=f"bids diverge at step {t}",
+            )
+            np.testing.assert_allclose(
+                float(j_action["budget"]), float(action["budget"]),
+                rtol=1e-9, err_msg=f"budget diverges at step {t}",
+            )
+
+            obs = _synthetic_obs(rng, o_bids, K)
+            oracle.update_all_caches(action, obs)
+            state = agent.update(state, o_bids, obs)
+
+            # rpc/sctr cache parity
+            for i in range(K):
+                c = oracle.caches[i]
+                np.testing.assert_allclose(
+                    float(state.cache.ave_rpc[i]), c["ave_rpc"], rtol=1e-9,
+                    err_msg=f"ave_rpc kw{i} step {t}")
+                assert int(state.cache.num_rpc_obs[i]) == c["num_rpc_obs"]
+                np.testing.assert_allclose(
+                    float(state.cache.ave_sctr[i]), c["ave_sctr"], rtol=1e-9,
+                    err_msg=f"ave_sctr kw{i} step {t}")
+                np.testing.assert_allclose(
+                    float(state.cache.num_sctr_obs[i]), c["num_sctr_obs"],
+                    rtol=0, err_msg=f"num_sctr_obs kw{i} step {t}")
+
+            # margin / cost curves + acquisition distribution parity
+            from adcraft_tpu.oracle.interp_agent import expected_profit_per_bid
+
+            margins, costs, probs, has_mass = agent.acquisition(state)
+            for i in range(K):
+                m_ref, c_ref = expected_profit_per_bid(
+                    oracle.caches[i], oracle.allowed_bids
+                )
+                np.testing.assert_allclose(
+                    np.asarray(margins[i]), m_ref, rtol=1e-6, atol=1e-9,
+                    err_msg=f"margins kw{i} step {t}")
+                np.testing.assert_allclose(
+                    np.asarray(costs[i]), np.broadcast_to(c_ref, (300,)),
+                    rtol=1e-6, atol=1e-9,
+                    err_msg=f"costs kw{i} step {t}")
+                acq_ref = oracle.acquisition(i)
+                if acq_ref is None:
+                    assert not bool(has_mass[i]), f"has_mass kw{i} step {t}"
+                else:
+                    assert bool(has_mass[i])
+                    np.testing.assert_allclose(
+                        np.asarray(probs[i]), acq_ref, rtol=1e-6, atol=1e-9,
+                        err_msg=f"acquisition kw{i} step {t}")
