@@ -103,9 +103,13 @@ def _jit_day(cfg):
     return _JIT_CACHE[cfg]
 
 
-def _assert_day_matches_oracle(cfg, kw, bids, budget, seed):
+def _assert_day_matches_oracle(cfg, kw, bids, budget, seed, oracle=None):
     """Bit-level parity vs the loop oracle, in x64 (PLAN.md parity contract:
-    f32 only disagrees with the f64 oracle at exact budget-boundary ties)."""
+    f32 only disagrees with the f64 oracle at exact budget-boundary ties).
+    ``oracle`` swaps in the C++ gate (simulate_day_native) for
+    production-scale shapes."""
+    if oracle is None:
+        oracle = simulate_day_numpy
     with jax.enable_x64(True):
         cfg = cfg.replace(use_x64=True)
         key = jax.random.PRNGKey(seed)
@@ -115,7 +119,7 @@ def _assert_day_matches_oracle(cfg, kw, bids, budget, seed):
         day = _jit_day(cfg)(key, kw, bids_r, jnp.asarray(budget, jnp.float64))
         draws = sample_day_draws(cfg, key, kw, bids_r)
         day = jax.tree.map(np.asarray, day)
-    ref = simulate_day_numpy(
+    ref = oracle(
         np.asarray(bids_r),
         budget,
         draws,
@@ -449,3 +453,56 @@ def test_day_invariants(key):
     assert np.all(imp <= np.asarray(day.volume))
     share = np.asarray(day.impression_share)
     assert np.all((share >= 0) & (share <= 1.0 + 1e-6))
+
+
+# ---------------------------------------------------------------------------
+# production-scale parity via the C++ oracle (VERDICT r1 item 4)
+# ---------------------------------------------------------------------------
+
+BENCH_SHAPE_CFG = EnvConfig(
+    num_keywords=100,
+    kind=KeywordKind.IMPLICIT,
+    competitor_model=CompetitorModel.SINGLE_ABS_CENTS,
+    max_volume=576,
+    timesteps_per_day=24,
+)
+
+
+def bench_shape_kw(n, seed=0):
+    """Keywords at the bench regime's scale (mean_volume ~128 dense table)."""
+    rng = np.random.default_rng(seed)
+    return make_keyword_state(
+        n,
+        vol_mean=rng.uniform(90.0, 200.0, n),
+        vol_std=rng.uniform(2.0, 12.0, n),
+        bctr=rng.uniform(0.2, 0.9, n),
+        sctr=rng.uniform(0.2, 0.9, n),
+        rev_mean=rng.uniform(0.5, 2.0, n),
+        rev_std=rng.uniform(0.05, 0.4, n),
+        bid_loc=rng.uniform(0.3, 1.0, n),
+        bid_scale=rng.uniform(0.05, 0.3, n),
+        max_bidders=1,
+        participation_rate=1.0,
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("budget", [1e6, 400.0])
+def test_bench_shape_day_matches_native_oracle(budget):
+    """Injected-draw bit parity at the BENCH shape (K=100, max_volume=576,
+    T=24) against the C++ gate oracle (oracle/numpy_env.py:176-206) —
+    the toy-scale tests above leave the production shapes uncovered
+    otherwise. 400.0 binds the budget mid-day at this scale."""
+    from adcraft_tpu.oracle.numpy_env import simulate_day_native
+
+    kw = bench_shape_kw(BENCH_SHAPE_CFG.num_keywords, 11)
+    bids = np.random.default_rng(11).uniform(
+        0.3, 2.0, BENCH_SHAPE_CFG.num_keywords
+    )
+    day, ref = _assert_day_matches_oracle(
+        BENCH_SHAPE_CFG, kw, bids, budget, 11, oracle=simulate_day_native
+    )
+    if budget < 1e5:
+        assert float(np.sum(ref["cost"])) <= budget + 1e-5
+    # the regime actually exercises volume: every keyword saw auctions
+    assert int(np.asarray(day.volume).min()) > 0
