@@ -65,17 +65,64 @@ def basic_policy_mapping_fn(agent_id, *args, **kwargs) -> str:
     return str(agent_id)
 
 
+def make_multi_trainers(
+    env_cfg,
+    num_policies: int,
+    num_envs: int = 8,
+    ppo_cfgs: Optional[List] = None,
+    table=None,
+    seed: int = 0,
+) -> Tuple[List, List]:
+    """Build N independent PPO learners over copies of one env config.
+
+    The TPU-native analogue of the reference's per-policy algo builds
+    over the shared multi-agent env (multi_agent/train.py:79-86): its
+    "multi-agent" env is N non-interacting copies, so N vectorized
+    learners with distinct seeds/hyper-params reproduce the setting with
+    the env batch living on device. ``ppo_cfgs`` optionally gives each
+    policy its own PPOConfig (the reference trains heterogeneous
+    PPO/SAC configs side by side).
+    """
+    import jax
+
+    from adcraft_tpu.agents.ppo import PPOConfig, PPOTrainer
+
+    if ppo_cfgs is None:
+        ppo_cfgs = [PPOConfig() for _ in range(num_policies)]
+    if len(ppo_cfgs) != num_policies:
+        raise ValueError("need one ppo config per policy")
+    trainers = [
+        PPOTrainer(env_cfg, num_envs, ppo_cfg=c, table=table) for c in ppo_cfgs
+    ]
+    states = [
+        t.init(jax.random.fold_in(jax.random.PRNGKey(seed), i))
+        for i, t in enumerate(trainers)
+    ]
+    return trainers, states
+
+
 def multi_train(trainers: List, states: List, epochs: int = 1) -> Dict:
     """Round-robin training over independent learners.
 
-    ``trainers`` are PPOTrainer-likes with ``train(state, 1)``;
-    mirrors multi_agent/train.py:88-92's per-policy round-robin. Returns
-    {policy_name: last_metrics} and mutated states in-place semantics via
-    the returned list.
+    ``trainers`` are PPOTrainer-likes with ``train(state, 1)`` (build
+    them with :func:`make_multi_trainers`); mirrors
+    multi_agent/train.py:88-92's per-policy round-robin. Returns the
+    advanced states plus per-policy metrics, including the reference's
+    ``result["sampler_results"]["policy_reward_mean"]`` surface
+    (multi_agent/train.py:20-23).
     """
+    if len(trainers) != len(states):
+        raise ValueError("need one state per trainer")
     results = {}
-    for epoch in range(epochs):
+    for _ in range(epochs):
         for i, trainer in enumerate(trainers):
             states[i], metrics = trainer.train(states[i], 1)
             results[basic_policy_mapping_fn(i)] = metrics
-    return {"states": states, "policy_metrics": results}
+    reward_mean = {
+        name: m.get("mean_reward") for name, m in results.items()
+    }
+    return {
+        "states": states,
+        "policy_metrics": results,
+        "sampler_results": {"policy_reward_mean": reward_mean},
+    }
