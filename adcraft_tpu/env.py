@@ -372,7 +372,8 @@ class VectorBiddingEnv:
         """Returns (state, obs) with a leading (num_envs,) batch axis.
 
         Per-env root keys are derived in the configured PRNG impl
-        (cfg.prng_impl; rbg by default for TPU throughput).
+        (cfg.prng_impl; threefry2x32 by default — NB "rbg" faults the
+        v5e worker, CLAUDE.md).
         """
         keys = batch_keys(key, self.num_envs, self.cfg.prng_impl)
         return self._reset(keys)

@@ -100,10 +100,11 @@ def test_checkpoint_round_trip(tmp_path, key):
     cfg = EnvConfig(num_keywords=3, kind=KeywordKind.IMPLICIT, max_volume=64)
     state, _ = env_reset(cfg, key, table=simple_experiment_table(16, 0.5))
     path = str(tmp_path / "ckpt")
-    # PRNG keys are typed; serialize raw key data
-    raw = state._replace(key=jax.random.key_data(state.key))
-    save_checkpoint(path, raw)
-    zero_template = jax.tree.map(jnp.zeros_like, raw)
+    # typed PRNG keys round-trip without caller-side unwrapping
+    save_checkpoint(path, state)
+    zero_template = jax.tree.map(jnp.zeros_like, state)
     restored = restore_checkpoint(path, zero_template)
-    for a, b in zip(jax.tree.leaves(raw), jax.tree.leaves(restored)):
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        if jnp.issubdtype(getattr(a, "dtype", np.float32), jax.dtypes.prng_key):
+            a, b = jax.random.key_data(a), jax.random.key_data(b)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
