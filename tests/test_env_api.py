@@ -212,3 +212,85 @@ def test_vmap_batch_matches_single_env_bitexact():
             )
         for a, b in zip(jax.tree.leaves(one_state), jax.tree.leaves(b_state)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b)[i])
+
+
+@pytest.mark.unit
+def test_env_autoreset_step_resets_on_done():
+    """env_autoreset_step returns the pre-reset transition but a fresh
+    state once the episode ends (VERDICT r1: untested export)."""
+    import jax
+    import jax.numpy as jnp
+
+    from adcraft_tpu.config import EnvConfig, KeywordKind
+    from adcraft_tpu.env import env_autoreset_step, env_reset
+    from adcraft_tpu.quantiles import simple_experiment_table
+
+    cfg = EnvConfig(
+        num_keywords=3, kind=KeywordKind.IMPLICIT, max_volume=48, max_days=2
+    )
+    table = simple_experiment_table(16, 0.5)
+    state, _ = env_reset(cfg, jax.random.PRNGKey(0), table=table)
+    bids = jnp.full((3,), 1.0)
+
+    state, ts1 = env_autoreset_step(cfg, state, bids, table=table)
+    assert not bool(ts1.terminated | ts1.truncated)
+    assert int(state.day) == 1
+    kw_before = state.kw
+    state, ts2 = env_autoreset_step(cfg, state, bids, table=table)
+    # day 2 of a 2-day episode: TimeStep reports the done transition...
+    assert bool(ts2.terminated | ts2.truncated)
+    # ...but the returned state is already reset (day 0, budget restored)
+    assert int(state.day) == 0
+    assert not bool(state.broken)
+    # keywords kept by default (reference resamples only on new seed,
+    # gymnasium_kw_env.py:303)
+    np.testing.assert_array_equal(
+        np.asarray(kw_before.vol_mean), np.asarray(state.kw.vol_mean)
+    )
+    # and the env keeps stepping after the auto-reset
+    state, ts3 = env_autoreset_step(cfg, state, bids, table=table)
+    assert int(state.day) == 1
+    assert not bool(ts3.terminated | ts3.truncated)
+
+
+@pytest.mark.unit
+def test_quantile_table_zero_count_buckets_excluded():
+    """Multi-bucket table with count<=0 rows: excluded from sampling for
+    that parameter only (reference count_{param} filtering,
+    gymnasium_kw_utils.py:320-322; VERDICT r1: untested path)."""
+    import jax
+
+    from adcraft_tpu.keywords import (
+        sample_implicit_keywords,
+        sample_implicit_keywords_numpy,
+    )
+    from adcraft_tpu.quantiles import ALL_PARAMS, QuantileTable
+
+    triples = {}
+    counts = {}
+    for p in ALL_PARAMS:
+        # three buckets; the middle one is dead (count 0) and holds
+        # poison values that would blow the valid ranges if sampled
+        if p == "vol":
+            triples[p] = np.asarray(
+                [[8.0, 12.0, 16.0], [9e5, 9.6e5, 1e6], [16.0, 24.0, 32.0]]
+            )
+        else:
+            triples[p] = np.asarray(
+                [[0.1, 0.2, 0.3], [900.0, 950.0, 1000.0], [0.3, 0.4, 0.5]]
+            )
+        counts[p] = np.asarray([5, 0, 7], dtype=np.int64)
+    table = QuantileTable(triples, counts)
+
+    assert table.param_triples("vol").shape == (2, 3)
+
+    n = 256
+    kw_np = sample_implicit_keywords_numpy(
+        np.random.default_rng(3), n, table
+    )
+    kw_jx = sample_implicit_keywords(jax.random.PRNGKey(3), n, table)
+    for kw in (kw_np, kw_jx):
+        vol = np.asarray(kw.vol_mean)
+        assert vol.max() <= 32.0 + 1e-6, "dead vol bucket was sampled"
+        assert np.asarray(kw.bctr).max() <= 0.5 + 1e-6
+        assert np.asarray(kw.sctr).max() <= 0.5 + 1e-6
