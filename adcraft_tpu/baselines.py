@@ -254,11 +254,11 @@ def _interp_observed(grid_vals: Array, observed: Array, query_x: Array, query_fi
     Faithful to the reference (interpolated_expectations.py:254-270):
     the observed x-coordinates are the cent values ``0.01 + 0.01*bin``
     (cache keys scanned over np.arange(0.01, 3.01, 0.01), :155-165)
-    while the queries are ``np.linspace(0.01, 3.0, 300)`` — a slightly
-    COARSER grid (step 0.0099966), so query j sits just below cent j and
-    np.interp's strict comparisons hand it to the interval on the left
-    (in particular the query at the first observed bin takes the LEFT
-    FILL, a reference off-by-epsilon quirk this reproduces).
+    and the queries are ``np.linspace(0.01, 3.0, 300)``, whose step
+    (3.0-0.01)/299 is exactly 0.01 in f64 — the two grids are
+    bit-identical, so every query hits an observed knot exactly and
+    np.interp returns the knot value (no off-by-epsilon quirk; ADVICE
+    r2 corrected an earlier wrong rationale here — the code was right).
     ``query_fill`` = (left_fill, right_fill) outside the observed range.
     """
     B = grid_vals.shape[-1]
@@ -311,12 +311,22 @@ class NaiveInterpolationStrategy:
         self.num_keywords = num_keywords
         self.threshold = profit_acquisition_threshold
         self.bid_step = bid_step
-        # np.linspace (not jnp) so the grid's float noise matches the
-        # reference's np.interp queries bit-for-bit under x64
+        # np.linspace in f64 — its step is exactly 0.01, so the grid is
+        # bit-identical to the 0.01+0.01*k cent grid (verified; ADVICE r2)
         import numpy as _np
 
         self.allowed_bids = jnp.asarray(_np.linspace(0.01, 3.00, num_bins))
         self.num_bins = num_bins
+        # Decimal-rounded doubles for each bin's cent value, matching the
+        # reference's string cache keys float(str(round(bid, 2)))
+        # (interpolated_expectations.py:10-12). These differ from the raw
+        # 0.01+0.01*b grid by 1 ulp for 80/300 bins, which can flip
+        # int(100*(mob+bid_step)-1) by one bin (ADVICE r2).
+        self._cent_key_vals = jnp.asarray(
+            _np.array(
+                [float(str(round(float(v), 2))) for v in _np.linspace(0.01, 3.00, num_bins)]
+            )
+        )
 
     def init(self) -> InterpolationState:
         K, B = self.num_keywords, self.num_bins
@@ -427,13 +437,22 @@ class NaiveInterpolationStrategy:
         ) * jnp.abs(self.threshold)
         acq = jnp.maximum(margins, thresh[:, None]) - thresh[:, None]
         # zero out bids beyond max observed bid + step (:386-393). The
-        # observed-bid keys are CENT values; int() truncates (under f32
-        # the truncation can differ from the reference's f64 by one bin
-        # when 100*(mob+step) sits on an integer — PARITY.md).
+        # observed-bid keys are the reference's DECIMAL-rounded doubles
+        # float(str(round(bid, 2))) — use the precomputed per-bin table,
+        # not the raw 0.01+0.01*bin floats, or int(100*(mob+step)-1)
+        # flips by one bin for 40/300 max-bid bins (under f32 the
+        # truncation can still differ from the reference's f64 —
+        # PARITY.md).
         observed_any = state.n_clicks > 0
         bin_idx = jnp.arange(self.num_bins)
         max_obs_bin = jnp.max(jnp.where(observed_any, bin_idx[None, :], -1), axis=1)
-        cents = 0.01 + 0.01 * max_obs_bin.astype(margins.dtype)
+        cents = jnp.where(
+            max_obs_bin >= 0,
+            self._cent_key_vals[jnp.clip(max_obs_bin, 0, self.num_bins - 1)].astype(
+                margins.dtype
+            ),
+            0.0,
+        )
         max_obs_bid = jnp.maximum(cents, 0.03)
         end_index = jnp.minimum(
             (100.0 * (max_obs_bid + self.bid_step) - 1.0).astype(jnp.int32),

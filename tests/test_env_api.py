@@ -241,7 +241,9 @@ def test_env_autoreset_step_resets_on_done():
     assert bool(ts2.terminated | ts2.truncated)
     # ...but the returned state is already reset (day 0, budget restored)
     assert int(state.day) == 0
-    assert not bool(state.broken)
+    # post-reset invariants: profit cleared, budget restored to config
+    assert float(state.cumulative_profit) == 0.0
+    assert float(state.budget) == float(cfg.budget)
     # keywords kept by default (reference resamples only on new seed,
     # gymnasium_kw_env.py:303)
     np.testing.assert_array_equal(
