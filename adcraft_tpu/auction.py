@@ -85,6 +85,19 @@ def _single_abs_cents_win_threshold(bid: Array) -> Array:
     return bid - 0.005
 
 
+def implicit_single_win_prob(bid: Array, bid_loc: Array, bid_scale: Array) -> Array:
+    """Closed-form win probability of the single-competitor auction.
+
+    Win iff ``round(|Laplace(loc, scale)|, 2) < bid`` i.e.
+    ``|L| < bid - 0.005`` (``_single_abs_cents_win_threshold``).
+    """
+    y0 = _single_abs_cents_win_threshold(bid)
+    p = dist.laplace_cdf(y0, bid_loc, bid_scale) - dist.laplace_cdf(
+        -y0, bid_loc, bid_scale
+    )
+    return jnp.clip(p, 0.0, 1.0)
+
+
 def implicit_single_auction(
     key: Array,
     bid: Array,
@@ -104,10 +117,7 @@ def implicit_single_auction(
     """
     k_imp, k_cost = jax.random.split(key)
     y0 = _single_abs_cents_win_threshold(bid)
-    p_win = dist.laplace_cdf(y0, bid_loc, bid_scale) - dist.laplace_cdf(
-        -y0, bid_loc, bid_scale
-    )
-    p_win = jnp.clip(p_win, 0.0, 1.0)
+    p_win = implicit_single_win_prob(bid, bid_loc, bid_scale)
     impressions = binomial_fn(k_imp, n_auctions, p_win)
 
     # cost | win: L ~ Laplace(loc, scale) truncated to (-y0, y0), cost

@@ -166,6 +166,30 @@ class EnvConfig:
     #           entire (M, K) revenue table. Used by bench.py.
     rev_sampling: str = "lanes"
 
+    # How per-click costs are sampled and budget-gated:
+    #   "lanes" (default) one cost draw per candidate click lane, the
+    #           (M, K) prefix-summed tables feeding the budget gate —
+    #           mirrors the reference's per-click draws
+    #           (synthetic_kw_helpers.py:104-113) and is the
+    #           injected-draw parity path;
+    #   "agg"   one aggregate full-cell spend draw per cell — a normal
+    #           with the EXACT discrete per-click cost moments (cent-grid
+    #           Laplace-CDF pmf, distributions.single_cost_cent_moments),
+    #           rounded to cents and clipped to the support. The lazy
+    #           budget gate classifies cells full/zero against the
+    #           aggregate and lane-materializes ONLY the budget-partial
+    #           cell(s), so the (M, K) cost tables (~83% of all PRNG
+    #           words at bench shape) vanish. CLT-approximate at the
+    #           full/partial boundary; distribution-validated in
+    #           tests/test_step.py, deviations in PARITY.md. Implicit
+    #           SINGLE_ABS_CENTS keywords only. Used by bench.py.
+    cost_sampling: str = "lanes"
+
+    # Cent-grid size for the exact per-click cost moments under
+    # cost_sampling="agg": moments are exact for bids <= agg_cost_grid/100
+    # (the reference's bid grid tops out at $3.00).
+    agg_cost_grid: int = 304
+
     # Bit width of the uniform driving each implicit-single cost lane draw:
     # 32 (default; full jax.random.uniform words) or 16 (two lane draws per
     # threefry word — the inverse-CDF input is quantized to 2^-16, which
@@ -214,6 +238,19 @@ class EnvConfig:
             raise ValueError("conv_sampling must be 'lanes' or 'counts'")
         if self.rev_sampling not in ("lanes", "sum"):
             raise ValueError("rev_sampling must be 'lanes' or 'sum'")
+        if self.cost_sampling not in ("lanes", "agg"):
+            raise ValueError("cost_sampling must be 'lanes' or 'agg'")
+        if self.cost_sampling == "agg" and not (
+            self.kind is KeywordKind.IMPLICIT
+            and self.competitor_model is CompetitorModel.SINGLE_ABS_CENTS
+        ):
+            raise ValueError(
+                "cost_sampling='agg' requires implicit SINGLE_ABS_CENTS "
+                "keywords (the cent-quantized cost model with closed-form "
+                "discrete moments)"
+            )
+        if self.agg_cost_grid < 2:
+            raise ValueError("agg_cost_grid must be >= 2")
         if self.lane_bits not in (16, 32):
             raise ValueError("lane_bits must be 16 or 32")
         if self.binomial_sampler not in ("exact", "inversion"):

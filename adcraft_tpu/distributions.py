@@ -325,6 +325,73 @@ def rev_sum_cents(
     return jnp.where(nconv > 0, cents, 0.0).astype(cents_dtype)
 
 
+def single_cost_cent_moments(bid: Array, loc: Array, scale: Array, grid: int):
+    """Exact per-click cost moments (in CENTS) for implicit-single keywords.
+
+    The per-click cost is ``X = 100 * round(|L|, 2)`` conditioned on the
+    win event ``|L| < y0 = bid - 0.005`` with ``L ~ Laplace(loc, scale)``
+    (``bid_abs_laplace`` + strict win, synthetic_kw_helpers.py:104-113,
+    167-171; adcraft_tpu.auction.implicit_single_auction). X is discrete
+    on the cent grid {0, 1, .., bid_cents-1}; its exact pmf is Laplace-CDF
+    differences over the rounding cells [i-0.5, i+0.5)/100 capped at y0:
+
+        G_i  = P(|L| < min((i+0.5)/100, y0))
+        p_i  = (G_i - G_{i-1}) / Z,   Z = P(|L| < y0)  (the win prob)
+
+    Moments follow by Abel summation over the tail CDF (numerically sums
+    of small non-negative terms, no cancellation):
+
+        E[X]   = sum_{i=0}^{grid-2} (Z - G_i) / Z
+        E[X^2] = sum_{i=0}^{grid-2} (2i+1) (Z - G_i) / Z
+
+    Exact whenever ``bid <= grid/100`` (edges at/above y0 saturate to Z
+    and contribute zero); for larger bids the moments are those of the
+    cost capped at the grid — enlarge ``EnvConfig.agg_cost_grid``.
+
+    Returns (mean_cents, std_cents, cmax_cents) each shaped like ``bid``;
+    ``cmax_cents = bid_cents - 1`` is the largest possible per-click cost.
+    """
+    bid = jnp.asarray(bid, jnp.float32)
+    loc = jnp.asarray(loc, jnp.float32)
+    scale = jnp.asarray(scale, jnp.float32)
+    y0 = jnp.maximum(bid - 0.005, 0.0)
+    shape = jnp.broadcast_shapes(bid.shape, loc.shape, scale.shape)
+    y0 = jnp.broadcast_to(y0, shape)
+    i = jnp.arange(grid - 1, dtype=jnp.float32)
+    ii = i.reshape((grid - 1,) + (1,) * len(shape))
+    e = jnp.minimum((ii + 0.5) / 100.0, y0)
+    gt = laplace_cdf(e, loc, scale) - laplace_cdf(-e, loc, scale)
+    z = laplace_cdf(y0, loc, scale) - laplace_cdf(-y0, loc, scale)
+    tail = jnp.maximum(z - gt, 0.0)  # (grid-1,) + shape
+    zsafe = jnp.maximum(z, 1e-12)
+    mu = jnp.sum(tail, axis=0) / zsafe
+    m2 = jnp.sum((2.0 * ii + 1.0) * tail, axis=0) / zsafe
+    var = jnp.maximum(m2 - mu * mu, 0.0)
+    cmax = jnp.maximum(jnp.round(bid * 100.0) - 1.0, 0.0)
+    return mu, jnp.sqrt(var), cmax
+
+
+def agg_cost_cents(
+    key: Array, n_clicks: Array, mu: Array, sigma: Array, cmax: Array,
+    cents_dtype,
+) -> Array:
+    """One aggregate spend draw per cell, in integer cents.
+
+    Approximates the sum of ``n_clicks`` iid per-click cost draws with
+    exact discrete moments (mu, sigma) in cents: one normal
+    ``N(n*mu, n*sigma^2)`` rounded to an integer and clipped to the
+    support ``[0, n*cmax]``. Exact for n == 0 (returns 0) and for
+    sigma == 0; CLT-approximate otherwise with O(1/sqrt(n)) distribution
+    error — the ``rev_sum_cents`` playbook applied to the cost side
+    (PARITY.md "Aggregate cost sampling").
+    """
+    n = n_clicks.astype(jnp.float32)
+    z = jax.random.normal(key, n_clicks.shape, dtype=jnp.float32)
+    s = jnp.round(n * mu + jnp.sqrt(n) * sigma * z)
+    s = jnp.clip(s, 0.0, n * cmax)
+    return s.astype(cents_dtype)
+
+
 # ---------------------------------------------------------------------------
 # Laplace CDF utilities (for the closed-form implicit auction)
 # ---------------------------------------------------------------------------

@@ -44,12 +44,17 @@ def run_episode_batch(
     agent_seeds: Iterable[int],
     num_days: Optional[int] = None,
     agent: str = "zero_margin",
+    updater_mask=None,
 ) -> Dict[str, np.ndarray]:
     """Run |env_seeds| x |agent_seeds| episodes in one vectorized rollout.
 
     ``agent`` selects the baseline: "zero_margin" (the agent behind every
     reference heatmap figure) or "interpolation"
     (NaiveInterpolationStrategy, interpolated_expectations.py:298-439).
+    ``updater_mask`` (per-keyword bools) makes masked keywords drift each
+    day — the reference's non-stationary configs pass all-True
+    (experiment_configs.py:60-82); per-day ideal profits are recomputed
+    from the drifted keyword state, like the notebook's oracle loop.
     Returns kw_profits and ideal_profits of shape (B, T, K) where B is the
     seed-pair batch, plus the seed pairs.
     """
@@ -72,7 +77,9 @@ def run_episode_batch(
     )
 
     def init_one(env_key):
-        kw = sample_implicit_keywords(env_key, K, table)
+        kw = sample_implicit_keywords(
+            env_key, K, table, updater_mask=updater_mask
+        )
         state, _ = env_reset(cfg, jax.random.fold_in(env_key, 1), kw=kw)
         # oracle ideal profit per keyword for this env's keywords
         # (experiment_metrics.py:20-61; per-step ideal is constant given
@@ -127,12 +134,15 @@ def run_sparsity_experiments(
     max_days: int = 60,
     verbose: bool = True,
     agent: str = "zero_margin",
+    updater_mask=None,
 ) -> None:
     """Full vol x cvr sweep, npz-per-(cell, seed-pair), resumable.
 
     Output layout matches run_heatmap_experiments.ipynb cell 3: one
     directory per grid cell, files ``{env_seed}_{agent_seed}.npz``
-    containing kw_profits and ideal_profits.
+    containing kw_profits and ideal_profits. ``updater_mask`` runs the
+    sweep with non-stationary (drifting) keywords, like the reference's
+    non-stationary experiment configs.
     """
     for vol, cvr in itertools.product(mean_volumes, cvrs):
         cell_dir = Path(out_dir) / f"vol_{vol:g}_cvr_{cvr:.2f}"
@@ -158,6 +168,7 @@ def run_sparsity_experiments(
             env_seeds=sorted({es for es, _ in todo}),
             agent_seeds=sorted({a for _, a in todo}),
             agent=agent,
+            updater_mask=updater_mask,
         )
         for i, (es, asd) in enumerate(out["pairs"]):
             np.savez(

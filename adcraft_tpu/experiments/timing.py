@@ -29,6 +29,7 @@ def time_episode(
     num_envs: int = 64,
     num_keywords: int = 100,
     max_days: int = 60,
+    non_stationary: bool = False,
 ) -> Dict[str, float]:
     cfg = EnvConfig(
         num_keywords=num_keywords,
@@ -37,17 +38,24 @@ def time_episode(
         max_volume=int(max(32, 4 * mean_volume + 64)),
     )
     table = simple_experiment_table(mean_volume, cvr)
+    mask = [True] * num_keywords if non_stationary else None
     env_seeds = list(range(num_envs // 4))
     agent_seeds = list(range(4))
     # warm-up/compile
-    run_episode_batch(cfg, table, env_seeds[:1], agent_seeds[:1], num_days=1)
+    run_episode_batch(
+        cfg, table, env_seeds[:1], agent_seeds[:1], num_days=1,
+        updater_mask=mask,
+    )
     t0 = time.perf_counter()
-    out = run_episode_batch(cfg, table, env_seeds, agent_seeds)
+    out = run_episode_batch(
+        cfg, table, env_seeds, agent_seeds, updater_mask=mask
+    )
     dt = time.perf_counter() - t0
     episodes = out["kw_profits"].shape[0]
     return {
         "mean_volume": mean_volume,
         "cvr": cvr,
+        "non_stationary": non_stationary,
         "episodes": episodes,
         "total_s": dt,
         "s_per_episode": dt / episodes,
@@ -56,9 +64,12 @@ def time_episode(
 
 
 def main() -> None:
-    # the three reference timing configs (cells 5-7)
-    for vol, cvr in ((16, 0.1), (128, 0.8)):
-        print(json.dumps(time_episode(vol, cvr)))
+    # the three reference timing configs:
+    # cell 5 non-stationary vol=16 cvr=0.1 (25.1 s/episode),
+    # cell 6 stationary    vol=16 cvr=0.1 (27.9 s/episode),
+    # cell 7 stationary    vol=128 cvr=0.8 (42.5 s/episode) — BASELINE.md
+    for vol, cvr, ns in ((16, 0.1, True), (16, 0.1, False), (128, 0.8, False)):
+        print(json.dumps(time_episode(vol, cvr, non_stationary=ns)))
 
 
 if __name__ == "__main__":

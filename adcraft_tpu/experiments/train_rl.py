@@ -81,6 +81,13 @@ def main() -> None:
     ap.add_argument("--num-keywords", type=int, default=None)
     ap.add_argument("--eval-every", type=int, default=5)
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument(
+        "--restore",
+        default=None,
+        help="checkpoint path to resume training from (the notebook's "
+        "Algorithm.from_checkpoint path, train_agent.ipynb cells 12/14); "
+        "restores the FULL TrainState (params, optimizer, env batch, key)",
+    )
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -97,6 +104,11 @@ def main() -> None:
         cfg, args.num_envs, PPOConfig(), table=experiment_table(env_config)
     )
     state = trainer.init(jax.random.PRNGKey(args.seed))
+    if args.restore:
+        from adcraft_tpu.checkpoint import restore_checkpoint
+
+        state = restore_checkpoint(args.restore, state)
+        print(json.dumps({"restored": args.restore}), flush=True)
     for step in range(args.steps):
         state, metrics = trainer.train(state, 1)
         line = {"step": step, **{m: float(v) for m, v in metrics.items()}}
@@ -111,7 +123,9 @@ def main() -> None:
     if args.checkpoint:
         from adcraft_tpu.checkpoint import save_checkpoint
 
-        save_checkpoint(args.checkpoint, state.params)
+        # the full TrainState (params, optimizer state, env batch, PRNG
+        # key) so --restore continues training exactly where it stopped
+        save_checkpoint(args.checkpoint, state)
         print(json.dumps({"checkpoint": args.checkpoint}))
 
 

@@ -177,6 +177,29 @@ class BiddingSimulation(gym.Env):
 
     # ------------------------------------------------------------------
 
+    def set_updater_mask(self, new_updater_mask: List[bool]) -> None:
+        """Replace the updater mask (reference gymnasium_kw_env.py:105-112).
+
+        The reference stores the mask on the env object and consults it on
+        every ``update_keywords`` call; here it lives inside
+        ``KeywordState.updater_mask``, so a live episode's state is
+        rewritten too — the new mask takes effect from the next step.
+        """
+        assert len(new_updater_mask) == self.num_keywords, (
+            f"Updater mask length ({len(new_updater_mask)})\n"
+            + f"must match number of keywords ({self.num_keywords}) "
+            + "to be applied."
+        )
+        self.updater_mask = new_updater_mask
+        self.num_updates = int(np.sum(new_updater_mask))
+        if self._state is not None:
+            import jax.numpy as jnp
+
+            kw = self._state.kw._replace(
+                updater_mask=jnp.asarray(new_updater_mask, bool)
+            )
+            self._state = self._state._replace(kw=kw)
+
     def _sample_keywords(self) -> KeywordState:
         mask = self.updater_mask
         if self.keyword_config is not None:

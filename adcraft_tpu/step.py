@@ -319,7 +319,148 @@ def _gate_keywords_lazy(
     return (b_path[-1], broken0 | jnp.any(b_path <= 0)), (p, spend, sim)
 
 
-def _cell_tables(cfg: EnvConfig, k_cells, kw, bids, t, n_auc_t, m: int, dtype):
+def _gate_keywords_lazy_agg(
+    budget0: Array,
+    broken0: Array,
+    s_full: Array,
+    first_cost: Array,
+    n_clicks: Array,
+    resolve_fn,
+    max_iter: int,
+) -> Tuple[Tuple[Array, Array], Tuple[Array, Array, Array]]:
+    """Lazy budget gate over AGGREGATE per-cell spend draws.
+
+    ``cost_sampling="agg"``'s counterpart of ``_gate_keywords_lazy``:
+    instead of (M+1, N) prefix tables there are two scalars per cell —
+    the aggregate full-cell spend ``s_full[j]`` and the cell's FIRST
+    per-click cost ``first_cost[j]`` (drawn in the sampling phase from
+    the lane stream's dedicated first-lane key, so it is bit-consistent
+    with ``resolve_fn``'s lane column). The per-cell acceptance rule is
+
+        g_j(B) = (n_j, s_full[j])      if s_full[j] <= B        (full)
+                 (0, 0)                elif first_cost[j] > B   (zero)
+                 resolve_fn(j, B, n_j) otherwise                (partial)
+
+    where ``resolve_fn`` lane-materializes that single cell's remaining
+    per-click cost draws on the fly and takes the maximal affordable
+    prefix. The zero class is essential, not an optimization: after the
+    budget is effectively exhausted mid-day (remaining B smaller than
+    any club of costs but still > 0 — the reference only breaks at
+    B <= 0), EVERY remaining cell is non-full, and without the
+    first-cost test each would cost one O(M) resolution sweep,
+    serializing the day (observed 12x CPU slowdown). With it, the tail
+    bulk-classifies to zero in O(N) like the lanes lazy gate. Sweep
+    scheme and epilogue identical to ``_gate_keywords_lazy``;
+    bit-identical to the sequential ``_gate_keywords_scan_agg``
+    cross-validation gate (tests).
+    """
+    n = s_full.shape[0]
+    karange = jnp.arange(n)
+    zero = jnp.zeros((), s_full.dtype)
+
+    def body(carry):
+        spend, p, fixed, bres, _done, it = carry
+        excl = jnp.concatenate([zero[None], jnp.cumsum(spend)[:-1]])
+        B = budget0 - excl
+        okres = fixed & (bres == B)
+        okfull = s_full <= B
+        okzero = first_cost > B  # covers B < 0 too (costs are nonneg)
+        spend2 = jnp.where(
+            okres, spend, jnp.where(okfull, s_full, jnp.where(okzero, zero, spend))
+        )
+        p2 = jnp.where(
+            okres, p, jnp.where(okfull, n_clicks, jnp.where(okzero, 0, p))
+        )
+        bad = ~(okres | okfull | okzero)
+        j = jnp.min(jnp.where(bad, karange, n))
+        jc = jnp.minimum(j, n - 1)
+        Bj = jnp.take(B, jc)
+        pj, sj = resolve_fn(jc, Bj, jnp.take(n_clicks, jc))
+        hit = karange == j
+        spend2 = jnp.where(hit, sj, spend2)
+        p2 = jnp.where(hit, pj, p2)
+        fixed2 = fixed | hit
+        bres2 = jnp.where(hit, Bj, bres)
+
+        changed = (
+            jnp.any(spend2 != spend)
+            | jnp.any(p2 != p)
+            | jnp.any(fixed2 != fixed)
+            | jnp.any(bres2 != bres)
+        )
+        stable_pre = ~jnp.any(((spend2 != spend) | (p2 != p)) & (karange < j))
+        b_path = budget0 - jnp.cumsum(spend2)
+        first_brk = jnp.min(jnp.where(b_path <= 0, karange, n))
+        done = ~changed | (stable_pre & (first_brk < j))
+        return spend2, p2, fixed2, bres2, done, it + 1
+
+    def cond(carry):
+        _s, _p, _f, _b, done, it = carry
+        return ~done & (it < max_iter)
+
+    spend, p, _f, _b, _done, _it = lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.zeros((n,), s_full.dtype),
+            jnp.zeros((n,), jnp.int32),
+            jnp.zeros((n,), bool),
+            jnp.zeros((n,), s_full.dtype),
+            jnp.asarray(broken0),
+            jnp.asarray(0, jnp.int32),
+        ),
+    )
+    # identical epilogue to the lazy/Jacobi gates
+    nb = budget0 - jnp.cumsum(spend)
+    alive = jnp.cumprod((nb > 0).astype(jnp.int32))
+    sim = ~broken0 & jnp.concatenate(
+        [jnp.ones((1,), bool), alive[:-1].astype(bool)]
+    )
+    spend = jnp.where(sim, spend, zero)
+    p = jnp.where(sim, p, 0)
+    b_path = budget0 - jnp.cumsum(spend)
+    return (b_path[-1], broken0 | jnp.any(b_path <= 0)), (p, spend, sim)
+
+
+def _gate_keywords_scan_agg(
+    budget0: Array,
+    broken0: Array,
+    s_full: Array,
+    n_clicks: Array,
+    resolve_fn,
+) -> Tuple[Tuple[Array, Array], Tuple[Array, Array, Array]]:
+    """Sequential cross-validation gate for ``cost_sampling="agg"``.
+
+    Evaluates the same per-cell rule as ``_gate_keywords_lazy_agg`` —
+    aggregate draw when it fits, lane resolution otherwise — one cell at
+    a time (resolving EVERY cell, so it re-pays the lane cost; test use
+    only). The lazy gate's zero class (first_cost > B) needs no special
+    case here: ``resolve_fn``'s lane column starts with the SAME
+    first-cost value, so resolution returns (0, 0) for exactly those
+    cells. Bit-identical to the lazy-agg gate by construction.
+    """
+    n = s_full.shape[0]
+    karange = jnp.arange(n)
+
+    def body(carry, xs):
+        b, broken = carry
+        sfull_j, nk, j = xs
+        full = sfull_j <= b
+        pj, sj = resolve_fn(j, b, nk)
+        p = jnp.where(full, nk, pj)
+        spend = jnp.where(full, sfull_j, sj)
+        p = jnp.where(broken, 0, p)
+        spend = jnp.where(broken, jnp.zeros_like(spend), spend)
+        nb = b - spend
+        return (nb, broken | (nb <= 0)), (p, spend, ~broken)
+
+    return lax.scan(body, (budget0, broken0), (s_full, n_clicks, karange))
+
+
+def _cell_tables(
+    cfg: EnvConfig, k_cells, kw, bids, t, n_auc_t, m: int, dtype,
+    cost_moments=None,
+):
     """Sample one sub-timestep's draw tables, prefix-summed for gating.
 
     Returns (impressions (K,), n_clicks (K,), cost_prefix (m+1, K),
@@ -327,32 +468,72 @@ def _cell_tables(cfg: EnvConfig, k_cells, kw, bids, t, n_auc_t, m: int, dtype):
     (``fold_in(k_cells, t)`` then a 4-way site split) is the contract
     mirrored by ``sample_day_draws``; it is identical whether cells are
     sampled sequentially or vmapped over ``t``.
+
+    With ``cost_sampling="agg"`` (``cost_moments`` = the day's
+    (mu, sigma, cmax) per-keyword cent moments) the (m, K) cost table is
+    replaced by ONE aggregate full-cell spend draw per cell: the third
+    output is ``s_full`` (K,) in integer cents instead of a prefix table.
+    The impression/click draws use the same key slots either way (their
+    streams are bit-identical across cost modes); the cost stream
+    differs (``k_cost`` is split into aggregate/lane-resolution sites).
     """
     K = kw.num_keywords
     kt = jax.random.fold_in(k_cells, t)
     k_auc, k_click, k_conv, k_rev = jax.random.split(kt, 4)
 
-    # NB all (M, K) tensors are lane-major: K rides the 128-lane axis
-    # (K ~ 100 pads 1.28x vs 2.7x for M ~ 48 on the lane axis)
-    cell = run_cell_auctions(
-        cfg, k_auc, bids, n_auc_t, kw, dtype=dtype, max_clicks=m
-    )
-    # buyside click coinflips per candidate (synthetic_kw_classes.py:207-219)
-    n_clicks = cell_binomial_fn(cfg, m)(k_click, cell.n_candidates, kw.bctr)
-    # prefix-sum the clicked-cost draws for budget gating. Cents models
-    # gate in exact integer cents (cfg.cents_costs — association-free,
-    # exact even in f32 mode); continuous models gate in the money
-    # dtype. Lanes at/after n_clicks are masked inside the gate.
-    if cfg.cents_costs:
-        cents_dtype = jnp.int64 if cfg.use_x64 else jnp.int32
-        costs = jnp.round(cell.cost_draws * 100.0).astype(cents_dtype)
-        pad = jnp.zeros((1, K), cents_dtype)
-    else:
-        costs = cell.cost_draws
-        pad = jnp.zeros((1, K), dtype)
-    cost_prefix = jnp.concatenate([pad, jnp.cumsum(costs, axis=0)], axis=0)
+    if cfg.cost_sampling == "agg":
+        from adcraft_tpu.auction import implicit_single_win_prob
 
-    out = [cell.impressions, n_clicks, cost_prefix]
+        cents_dtype = jnp.int64 if cfg.use_x64 else jnp.int32
+        bfn = cell_binomial_fn(cfg, m)
+        # same key slots as implicit_single_auction (k_imp for the win
+        # binomial); k_cost's aggregate site is split(k_cost)[0], its
+        # lane-resolution site split(k_cost)[1] (consumed in the gate's
+        # resolve_fn for budget-partial cells only)
+        k_imp, k_cost = jax.random.split(k_auc)
+        p_win = implicit_single_win_prob(bids, kw.bid_loc, kw.bid_scale)
+        impressions = bfn(k_imp, n_auc_t, p_win)
+        n_clicks = bfn(k_click, impressions, kw.bctr)
+        k_sfull, k_lanes = jax.random.split(k_cost)
+        mu_c, sig_c, cmax_c = cost_moments
+        s_full = dist.agg_cost_cents(
+            k_sfull, n_clicks, mu_c, sig_c, cmax_c, cents_dtype
+        )
+        # each cell's FIRST per-click cost, from the lane stream's
+        # dedicated first-lane key (split(k_lanes)[0]) — the gate's cheap
+        # zero classification for budget-exhausted tails, bit-consistent
+        # with _resolve_cell's lane column
+        k_first = jax.random.split(k_lanes)[0]
+        y0 = bids - 0.005
+        tr0 = dist.truncated_laplace(
+            k_first, kw.bid_loc, kw.bid_scale, -y0, y0, (K,),
+            bits=cfg.lane_bits,
+        )
+        first_cost = jnp.round(jnp.abs(tr0) * 100.0).astype(cents_dtype)
+        out = [impressions, n_clicks, s_full, first_cost]
+    else:
+        # NB all (M, K) tensors are lane-major: K rides the 128-lane axis
+        # (K ~ 100 pads 1.28x vs 2.7x for M ~ 48 on the lane axis)
+        cell = run_cell_auctions(
+            cfg, k_auc, bids, n_auc_t, kw, dtype=dtype, max_clicks=m
+        )
+        impressions = cell.impressions
+        # buyside click coinflips per candidate
+        # (synthetic_kw_classes.py:207-219)
+        n_clicks = cell_binomial_fn(cfg, m)(k_click, cell.n_candidates, kw.bctr)
+        # prefix-sum the clicked-cost draws for budget gating. Cents models
+        # gate in exact integer cents (cfg.cents_costs — association-free,
+        # exact even in f32 mode); continuous models gate in the money
+        # dtype. Lanes at/after n_clicks are masked inside the gate.
+        if cfg.cents_costs:
+            cents_dtype = jnp.int64 if cfg.use_x64 else jnp.int32
+            costs = jnp.round(cell.cost_draws * 100.0).astype(cents_dtype)
+            pad = jnp.zeros((1, K), cents_dtype)
+        else:
+            costs = cell.cost_draws
+            pad = jnp.zeros((1, K), dtype)
+        cost_prefix = jnp.concatenate([pad, jnp.cumsum(costs, axis=0)], axis=0)
+        out = [impressions, n_clicks, cost_prefix]
     if cfg.conv_sampling == "lanes":
         # sellside conversion coinflips (bidding_simulation.py:106-109;
         # coinflips are `u <= p`, synthetic_kw_helpers.py:73-77). Flags are
@@ -419,6 +600,7 @@ def simulate_day(
     volume = jnp.minimum(volume, cfg.max_volume)
     n_auctions = split_volume(cfg, volume)  # (T, K)
 
+    agg = cfg.cost_sampling == "agg"
     gate_mode = cfg.gate_mode
     if gate_mode == "auto":
         gate_mode = "lazy" if cents else "jacobi"
@@ -435,6 +617,57 @@ def simulate_day(
                 b, broken, prefix, n_clicks, max_iter=prefix.shape[1] + 2
             )
         return _gate_keywords(b, broken, prefix, n_clicks)
+
+    if agg:
+        cdt_agg = jnp.int64 if cfg.use_x64 else jnp.int32
+        # exact per-click cost cent moments — once per day (bid-dependent,
+        # sub-timestep-independent)
+        cost_moments = dist.single_cost_cent_moments(
+            bids, kw.bid_loc, kw.bid_scale, cfg.agg_cost_grid
+        )
+
+        def _resolve_cell(t, k, fc, B, nk, m):
+            """Lane-materialize ONE budget-partial cell's cost draws.
+
+            The column's first element is the already-sampled first-lane
+            cost ``fc`` (the gate's zero-class value, drawn from
+            split(k_lanes)[0] in _cell_tables); lanes 1..m-1 come from a
+            fresh keyed stream (split(k_lanes)[1] folded by keyword),
+            distinct from the aggregate-draw site. Returns the maximal
+            affordable prefix (accepted clicks, spend cents)."""
+            kt = jax.random.fold_in(k_cells, t)
+            k_auc = jax.random.split(kt, 4)[0]
+            k_cost = jax.random.split(k_auc)[1]
+            k_lanes = jax.random.split(k_cost)[1]
+            k_rest = jax.random.split(k_lanes)[1]
+            k_col = jax.random.fold_in(k_rest, k)
+            loc = jnp.take(kw.bid_loc, k)
+            scale = jnp.take(kw.bid_scale, k)
+            y0 = jnp.take(jnp.asarray(bids), k) - 0.005
+            if m > 1:
+                tr = dist.truncated_laplace(
+                    k_col, loc, scale, -y0, y0, (m - 1,), bits=cfg.lane_bits
+                )
+                rest = jnp.round(jnp.abs(tr) * 100.0).astype(cdt_agg)
+                costs = jnp.concatenate([fc[None].astype(cdt_agg), rest])
+            else:
+                costs = fc[None].astype(cdt_agg)
+            prefix = jnp.concatenate(
+                [jnp.zeros((1,), cdt_agg), jnp.cumsum(costs)]
+            )
+            ok = (prefix[1:] <= B) & (jnp.arange(m) < nk)
+            pj = jnp.sum(ok.astype(jnp.int32)).astype(jnp.int32)
+            return pj, prefix[pj]
+
+        def gate_agg(b, broken, s_full_n, fc_n, ncl_n, resolve):
+            if gate_mode == "scan":
+                return _gate_keywords_scan_agg(b, broken, s_full_n, ncl_n, resolve)
+            return _gate_keywords_lazy_agg(
+                b, broken, s_full_n, fc_n, ncl_n, resolve,
+                max_iter=s_full_n.shape[0] + 2,
+            )
+    else:
+        cost_moments = None
 
     if cents:
         cdt = jnp.int64 if cfg.use_x64 else jnp.int32
@@ -454,38 +687,87 @@ def simulate_day(
     def _unpack(tab):
         it = iter(tab)
         imp, ncl, cpre = next(it), next(it), next(it)
+        fc = next(it) if agg else None  # agg: per-cell first-lane cost
         vpre = None if counts else next(it)
         rpre = None if rev_sum else next(it)
-        return imp, ncl, cpre, vpre, rpre
+        return imp, ncl, cpre, fc, vpre, rpre
 
     tab0 = _cell_tables(
         cfg, k_cells, kw, bids, jnp.asarray(0), n_auctions[0],
-        cfg.max_clicks_per_cell, dtype,
+        cfg.max_clicks_per_cell, dtype, cost_moments=cost_moments,
     )
-    imp0, ncl0, cpre0, vpre0, rpre0 = _unpack(tab0)
+    imp0, ncl0, cpre0, fc0, vpre0, rpre0 = _unpack(tab0)
     if T > 1:
         # gate_scope="global" wants lane-major stacked tables (the (T-1, K)
         # cell grid flattens to lexicographic order for free); "per_t"
         # wants t-major so the gate scan slices per-sub-timestep tiles.
+        # agg mode's s_full/first_cost are (K,) per t — always t-major.
         pax = 1 if cfg.gate_scope == "global" else 0
-        axes = (0, 0, pax)
+        axes = (0, 0, 0 if agg else pax)
+        axes += (0,) if agg else ()
         axes += () if counts else (pax,)
         axes += () if rev_sum else (pax,)
         tabs1 = jax.vmap(
             lambda t, n: _cell_tables(
-                cfg, k_cells, kw, bids, t, n, cfg.max_clicks_rest, dtype
+                cfg, k_cells, kw, bids, t, n, cfg.max_clicks_rest, dtype,
+                cost_moments=cost_moments,
             ),
             out_axes=axes,
         )(jnp.arange(1, T), n_auctions[1:])
-        imp1, ncl1, cpre1, vpre1, rpre1 = _unpack(tabs1)
+        imp1, ncl1, cpre1, fc1, vpre1, rpre1 = _unpack(tabs1)
 
     # ---- phase 2: the budget gate ----
-    (b, broken), (acc0, spend0, sim0) = gate(
-        init_b, jnp.asarray(False), cpre0, ncl0
-    )
+    if agg:
+        def resolve0(j, B, nk):
+            return _resolve_cell(
+                0, j, jnp.take(fc0, j), B, nk, cfg.max_clicks_per_cell
+            )
+
+        (b, broken), (acc0, spend0, sim0) = gate_agg(
+            init_b, jnp.asarray(False), cpre0, fc0, ncl0, resolve0
+        )
+    else:
+        (b, broken), (acc0, spend0, sim0) = gate(
+            init_b, jnp.asarray(False), cpre0, ncl0
+        )
     if T > 1:
         t1 = T - 1
-        if cfg.gate_scope == "global":
+        if agg:
+            if cfg.gate_scope == "global":
+                fc1f = fc1.reshape(t1 * K)
+
+                def resolve1(j, B, nk):
+                    return _resolve_cell(
+                        j // K + 1, j % K, jnp.take(fc1f, j), B, nk,
+                        cfg.max_clicks_rest,
+                    )
+
+                (b, broken), (acc1f, spend1f, sim1f) = gate_agg(
+                    b, broken, cpre1.reshape(t1 * K), fc1f,
+                    ncl1.reshape(t1 * K), resolve1,
+                )
+                acc1 = acc1f.reshape(t1, K)
+                spend1 = spend1f.reshape(t1, K)
+                sim1 = sim1f.reshape(t1, K)
+            else:
+                def gate_body(carry, xs):
+                    sfull_t, fc_t, ncl_t, t = xs
+
+                    def resolve(j, B, nk):
+                        return _resolve_cell(
+                            t, j, jnp.take(fc_t, j), B, nk,
+                            cfg.max_clicks_rest,
+                        )
+
+                    return gate_agg(
+                        carry[0], carry[1], sfull_t, fc_t, ncl_t, resolve
+                    )
+
+                (b, broken), (acc1, spend1, sim1) = lax.scan(
+                    gate_body, (b, broken),
+                    (cpre1, fc1, ncl1, jnp.arange(1, T)),
+                )
+        elif cfg.gate_scope == "global":
             m1p = cpre1.shape[0]
             (b, broken), (acc1f, spend1f, sim1f) = gate(
                 b, broken, cpre1.reshape(m1p, t1 * K), ncl1.reshape(t1 * K)
@@ -603,11 +885,16 @@ def sample_day_draws(
     """
     if dtype is None:
         dtype = cfg.money_dtype
-    if cfg.conv_sampling != "lanes" or cfg.rev_sampling != "lanes":
+    if (
+        cfg.conv_sampling != "lanes"
+        or cfg.rev_sampling != "lanes"
+        or cfg.cost_sampling != "lanes"
+    ):
         raise ValueError(
-            "injected-draw parity requires conv_sampling='lanes' and "
-            "rev_sampling='lanes' (the aggregate modes draw after gating; "
-            "they are validated distributionally, tests/test_step.py)"
+            "injected-draw parity requires conv_sampling='lanes', "
+            "rev_sampling='lanes' and cost_sampling='lanes' (the aggregate "
+            "modes draw after/without lane tables; they are validated "
+            "distributionally, tests/test_step.py)"
         )
     import numpy as np
 

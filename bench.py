@@ -59,6 +59,7 @@ def bench_cfg(max_volume: int = 576):
         # validated; "lanes"/"exact"/32 are the injected-parity paths.
         conv_sampling=os.environ.get("BENCH_CONV", "counts"),
         rev_sampling=os.environ.get("BENCH_REV", "sum"),
+        cost_sampling=os.environ.get("BENCH_COST", "agg"),
         lane_bits=int(os.environ.get("BENCH_LANE_BITS", "16")),
         binomial_sampler=os.environ.get("BENCH_BINOM", "inversion"),
         # one whole-day lazy gate beats 24 per-sub-timestep gates here
@@ -109,6 +110,7 @@ def main() -> None:
             "regime": "dense (mean_volume=128, cvr=0.8)",
             "conv_sampling": cfg.conv_sampling,
             "rev_sampling": cfg.rev_sampling,
+            "cost_sampling": cfg.cost_sampling,
             "lane_bits": cfg.lane_bits,
             "binomial_sampler": cfg.binomial_sampler,
         },
@@ -132,18 +134,29 @@ def main() -> None:
             )
         }
 
-        # PRNG roofline: the step is random-bits-bound, so words/day and
-        # the measured threefry rate bound what this config can reach.
+        # PRNG roofline: words/day and the measured threefry rate bound
+        # what a sampling-dominated config can reach. The rate is the
+        # median of 3 runs (single tunnel runs swing 4-5x, VERDICT r2);
+        # utilization > 1 means the step is NOT PRNG-bound at this word
+        # count (expected for the reduced-word agg config — see PLAN.md
+        # "Perf model") and is flagged rather than trusted.
         words = prng_words_per_env_day(cfg)
         rate = measure_threefry_words_per_sec()
         if words:
-            ceiling = rate / words
+            ceiling = rate["median"] / words
+            util = headline * n_chips / ceiling
             out["roofline"] = {
                 "prng_words_per_env_day": round(words),
-                "threefry_words_per_sec": round(rate),
+                "threefry_words_per_sec": round(rate["median"]),
+                "threefry_rate_spread": round(rate["spread"], 2),
                 "prng_bound_env_steps_per_sec": round(ceiling, 1),
-                "prng_utilization": round(headline * n_chips / ceiling, 3),
+                "prng_utilization": round(util, 3),
             }
+            if util > 1.0:
+                out["roofline"]["note"] = (
+                    "utilization > 1: step not PRNG-bound at this word "
+                    "count (or the rate sample is degraded; spread above)"
+                )
 
     print(json.dumps(out))
 

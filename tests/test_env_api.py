@@ -296,3 +296,46 @@ def test_quantile_table_zero_count_buckets_excluded():
         assert vol.max() <= 32.0 + 1e-6, "dead vol bucket was sampled"
         assert np.asarray(kw.bctr).max() <= 0.5 + 1e-6
         assert np.asarray(kw.sctr).max() <= 0.5 + 1e-6
+
+
+@pytest.mark.unit
+def test_gym_set_updater_mask():
+    """set_updater_mask (reference gymnasium_kw_env.py:105-112): replaces
+    the mask, updates num_updates, and rewrites a live episode's keyword
+    state so drift starts from the next step."""
+    import numpy as np
+
+    from adcraft_tpu.gym_env import BiddingSimulation
+    from adcraft_tpu.quantiles import (
+        load_experiment_quantiles,
+        make_experiment_quantiles,
+    )
+
+    env = BiddingSimulation(
+        keyword_config={
+            "outer_directory": "/tmp",
+            "mean_volume": 16,
+            "conversion_rate": 0.5,
+            "make_quant_func": make_experiment_quantiles,
+            "load_quant_func": load_experiment_quantiles,
+        },
+        num_keywords=4,
+    )
+    env.reset(seed=3)
+    assert env.updater_mask is None
+    with pytest.raises(AssertionError):
+        env.set_updater_mask([True])  # wrong length
+    env.set_updater_mask([True, False, True, False])
+    assert env.num_updates == 2
+    np.testing.assert_array_equal(
+        np.asarray(env.state.kw.updater_mask), [True, False, True, False]
+    )
+    # env still steps; the masked keywords now drift
+    kw_before = np.asarray(env.state.kw.vol_mean).copy()
+    for _ in range(3):
+        env.step(
+            {"keyword_bids": np.full(4, 1.0), "budget": np.array([1000.0])}
+        )
+    kw_after = np.asarray(env.state.kw.vol_mean)
+    np.testing.assert_array_equal(kw_before[[1, 3]], kw_after[[1, 3]])
+    assert not np.array_equal(kw_before[[0, 2]], kw_after[[0, 2]])

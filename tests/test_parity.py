@@ -170,3 +170,71 @@ def test_literal_auction_semantics():
     # negative competitor bids: cost floored at 0 via padding
     imp, _, costs = nth_price_auction_numpy(0.5, np.asarray([[-0.3]]), 2, 1)
     assert imp == 1 and costs[0] == 0.0
+
+@pytest.mark.unit
+def test_keyword_drift_matches_oracle_distribution():
+    """Non-stationary drift parity (VERDICT r2 item 5): 20 drifted days of
+    the vectorized ``update_keywords`` must match the oracle's
+    ``_update_keywords`` (reference gymnasium_kw_env.py:114-158 semantics:
+    vol_mean += U(-s, s) * drift_ref clipped >= 0; ctr/cvr *= 1 + U(-s, s)
+    clipped to [0, 1]) in distribution across replicas."""
+    from adcraft_tpu.step import update_keywords
+
+    K, DRIFT_DAYS, REPS = 4, 20, 300
+    cfg = EnvConfig(num_keywords=K, kind=KeywordKind.IMPLICIT)
+    kw = make_keyword_state(
+        K,
+        **KW_ARGS,
+        bid_loc=[0.0] * K,
+        bid_scale=[0.1] * K,
+        max_bidders=1,
+        participation_rate=1.0,
+        updater_mask=[True, True, True, False],  # one keyword frozen
+    )
+
+    def drift_chain(key):
+        def body(s, k):
+            return update_keywords(cfg, k, s), None
+
+        out, _ = jax.lax.scan(body, kw, jax.random.split(key, DRIFT_DAYS))
+        return out.vol_mean, out.bctr, out.sctr
+
+    keys = jax.random.split(jax.random.PRNGKey(123), REPS)
+    jv, jb, js = jax.jit(jax.vmap(drift_chain))(keys)
+    jv, jb, js = np.asarray(jv), np.asarray(jb), np.asarray(js)
+
+    ov = np.zeros((REPS, K))
+    ob = np.zeros((REPS, K))
+    os_ = np.zeros((REPS, K))
+    for r in range(REPS):
+        env = NumpyOracleEnv(
+            [
+                OracleKeyword(
+                    vol_mean=KW_ARGS["vol_mean"][i],
+                    vol_std=KW_ARGS["vol_std"][i],
+                    bctr=KW_ARGS["bctr"][i],
+                    sctr=KW_ARGS["sctr"][i],
+                    rev_mean=KW_ARGS["rev_mean"][i],
+                    rev_std=KW_ARGS["rev_std"][i],
+                )
+                for i in range(K)
+            ],
+            seed=1000 + r,
+            updater_mask=[True, True, True, False],
+        )
+        for _ in range(DRIFT_DAYS):
+            env._update_keywords()
+        ov[r] = [k.vol_mean for k in env.keywords]
+        ob[r] = [k.bctr for k in env.keywords]
+        os_[r] = [k.sctr for k in env.keywords]
+
+    # the frozen keyword never moves, bit-exactly, on both paths
+    np.testing.assert_array_equal(jv[:, 3], KW_ARGS["vol_mean"][3])
+    np.testing.assert_array_equal(ov[:, 3], KW_ARGS["vol_mean"][3])
+    # drifted keywords match in distribution (cross-replica mean and std)
+    np.testing.assert_allclose(jv[:, :3].mean(0), ov[:, :3].mean(0), rtol=0.02)
+    np.testing.assert_allclose(
+        jv[:, :3].std(0), ov[:, :3].std(0), rtol=0.25, atol=0.05
+    )
+    np.testing.assert_allclose(jb[:, :3].mean(0), ob[:, :3].mean(0), rtol=0.02)
+    np.testing.assert_allclose(js[:, :3].mean(0), os_[:, :3].mean(0), rtol=0.02)

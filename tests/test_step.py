@@ -371,6 +371,166 @@ def test_lane_bits16_cost_distribution():
 
 
 @pytest.mark.unit
+def test_cost_agg_moments_exact():
+    """single_cost_cent_moments must equal the f64 brute-force pmf of
+    round(|truncated Laplace|, 2) in cents (the implicit-single per-click
+    cost, synthetic_kw_helpers.py:104-113 conditioned on the win)."""
+    from adcraft_tpu import distributions as dist
+
+    def brute(bid, loc, scale, grid=304):
+        y0 = max(bid - 0.005, 0.0)
+
+        def F(x):
+            z = (x - loc) / scale
+            return 0.5 * np.exp(z) if z < 0 else 1.0 - 0.5 * np.exp(-z)
+
+        def G(e):
+            e = min(max(e, 0.0), y0)
+            return F(e) - F(-e)
+
+        z_norm = max(G(y0), 1e-300)
+        pm = np.array(
+            [
+                max(G((i + 0.5) / 100) - G(max((i - 0.5) / 100, 0.0)), 0.0)
+                for i in range(grid)
+            ]
+        ) / z_norm
+        i = np.arange(grid)
+        mu = (i * pm).sum()
+        return mu, np.sqrt(((i - mu) ** 2 * pm).sum())
+
+    cases = [
+        (1.0, 0.5, 0.3),
+        (0.31, 0.2, 0.1),
+        (3.0, 1.0, 0.8),
+        (0.05, 0.5, 0.3),
+        (0.01, 0.5, 0.3),  # win only vs a 0-cent competitor: cost is 0
+        (2.0, -0.4, 0.2),  # negative loc
+    ]
+    for bid, loc, scale in cases:
+        mu_j, sd_j, cmax = dist.single_cost_cent_moments(
+            jnp.asarray([bid]), jnp.asarray([loc]), jnp.asarray([scale]), 304
+        )
+        mu_n, sd_n = brute(bid, loc, scale)
+        np.testing.assert_allclose(float(mu_j[0]), mu_n, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(float(sd_j[0]), sd_n, rtol=1e-4, atol=1e-4)
+        assert float(cmax[0]) == max(round(bid * 100) - 1, 0)
+
+
+@pytest.mark.unit
+def test_cost_agg_mode_matches_lanes_distribution():
+    """cost_sampling="agg" must match "lanes" in distribution: identical
+    impressions/clicks/volume per key (same key slots up to costs) and
+    statistically equal cost mean/std (the aggregate draw carries the
+    exact discrete per-click cent moments)."""
+    kw = implicit_kw(IMPLICIT_CFG.num_keywords, 13)
+    bids = jnp.full((IMPLICIT_CFG.num_keywords,), 1.0)
+    keys = jax.random.split(jax.random.PRNGKey(31), 256)
+    outs = {}
+    for mode in ("lanes", "agg"):
+        cfg = IMPLICIT_CFG.replace(cost_sampling=mode)
+        fn = jax.jit(
+            jax.vmap(
+                lambda k: simulate_day(cfg, k, kw, bids, jnp.asarray(1000.0))
+            )
+        )
+        outs[mode] = jax.tree.map(np.asarray, fn(keys))
+    # everything upstream of costs is bit-identical (same key slots)
+    for field in ("impressions", "buyside_clicks", "volume"):
+        np.testing.assert_array_equal(
+            getattr(outs["lanes"], field), getattr(outs["agg"], field),
+            err_msg=field,
+        )
+    # per-keyword cost mean and std agree (256 episodes per mode)
+    np.testing.assert_allclose(
+        outs["lanes"].cost.mean(axis=0), outs["agg"].cost.mean(axis=0),
+        rtol=0.05, atol=0.02,
+    )
+    np.testing.assert_allclose(
+        outs["lanes"].cost.std(), outs["agg"].cost.std(), rtol=0.15
+    )
+
+
+@pytest.mark.unit
+def test_cost_agg_lazy_gate_matches_scan_gate():
+    """The lazy-agg gate must be bit-identical to the sequential scan
+    evaluation of the same per-cell rule (full-by-aggregate /
+    lane-resolve otherwise), across binding budgets and both scopes."""
+    kw = implicit_kw(IMPLICIT_CFG.num_keywords, 14)
+    bids = jnp.full((IMPLICIT_CFG.num_keywords,), 1.0)
+    base = IMPLICIT_CFG.replace(cost_sampling="agg")
+    keys = jax.random.split(jax.random.PRNGKey(37), 16)
+    for scope in ("global", "per_t"):
+        for budget in (0.5, 2.0, 8.0, 50.0):
+            cl = base.replace(gate_mode="lazy", gate_scope=scope)
+            cs = base.replace(gate_mode="scan", gate_scope=scope)
+            fl = jax.jit(
+                jax.vmap(
+                    lambda k: simulate_day(cl, k, kw, bids, jnp.asarray(budget))
+                )
+            )
+            fs = jax.jit(
+                jax.vmap(
+                    lambda k: simulate_day(cs, k, kw, bids, jnp.asarray(budget))
+                )
+            )
+            a = jax.tree.map(np.asarray, fl(keys))
+            b = jax.tree.map(np.asarray, fs(keys))
+            for f, x, y in zip(a._fields, a, b):
+                np.testing.assert_array_equal(
+                    x, y, err_msg=f"{scope} budget={budget} field={f}"
+                )
+            # budget respected exactly (integer-cent gating)
+            total = a.cost.sum(axis=1)
+            assert np.all(total <= budget + 1e-6), (scope, budget, total.max())
+
+
+@pytest.mark.unit
+def test_cost_agg_spend_matches_lanes_under_binding_budget():
+    """With a budget that binds most days, total day spend under agg must
+    track the lanes path distributionally (the budget-partial cell is
+    lane-resolved, so the break point has the right granularity)."""
+    kw = implicit_kw(IMPLICIT_CFG.num_keywords, 15)
+    bids = jnp.full((IMPLICIT_CFG.num_keywords,), 1.0)
+    keys = jax.random.split(jax.random.PRNGKey(41), 256)
+    tot = {}
+    for mode in ("lanes", "agg"):
+        cfg = IMPLICIT_CFG.replace(cost_sampling=mode)
+        fn = jax.jit(
+            jax.vmap(
+                lambda k: simulate_day(cfg, k, kw, bids, jnp.asarray(3.0))
+            )
+        )
+        out = jax.tree.map(np.asarray, fn(keys))
+        tot[mode] = out.cost.sum(axis=1)
+        assert np.all(tot[mode] <= 3.0 + 1e-6)
+    np.testing.assert_allclose(
+        tot["lanes"].mean(), tot["agg"].mean(), rtol=0.03
+    )
+
+
+@pytest.mark.unit
+def test_cost_agg_requires_implicit_single():
+    """Config validation: agg needs the cent-quantized implicit-single
+    cost model."""
+    with pytest.raises(ValueError):
+        EnvConfig(kind=KeywordKind.EXPLICIT, cost_sampling="agg")
+    with pytest.raises(ValueError):
+        EnvConfig(
+            kind=KeywordKind.IMPLICIT,
+            competitor_model=CompetitorModel.BINOMIAL_POOL,
+            cost_sampling="agg",
+        )
+    with pytest.raises(ValueError):
+        sample_day_draws(
+            IMPLICIT_CFG.replace(cost_sampling="agg"),
+            jax.random.PRNGKey(0),
+            implicit_kw(IMPLICIT_CFG.num_keywords),
+            jnp.full((IMPLICIT_CFG.num_keywords,), 1.0),
+        )
+
+
+@pytest.mark.unit
 @pytest.mark.parametrize("seed", range(3))
 def test_binomial_inversion_injected_parity(seed):
     """binomial_sampler="inversion" stays bit-parity-testable:
