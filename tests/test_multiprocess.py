@@ -100,3 +100,57 @@ def test_two_process_trajectories_bit_identical(tmp_path):
     np.testing.assert_allclose(
         a["psum_reward"], rewards[-1].sum(), rtol=1e-6, atol=1e-4
     )
+
+
+@pytest.mark.slow
+def test_pod_bench_two_process_smoke():
+    """scripts/pod_bench.py forms a 2-process jax.distributed job on the
+    CPU stand-in mesh and reports consistent global/per-host throughput
+    from both processes (VERDICT r2 item 8: the 1-host -> N-host scaling
+    table is one command per host when real hardware appears)."""
+    port = _free_port()
+    script = os.path.join(REPO, "scripts", "pod_bench.py")
+    env = _worker_env()
+    env["BENCH_NUM_KEYWORDS"] = "4"
+    env["BENCH_MAX_VOLUME"] = "64"
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, script,
+                "--coordinator", f"localhost:{port}",
+                "--num-processes", "2",
+                "--process-id", str(pid),
+                "--num-envs", "16",
+                "--steps", "2",
+                "--gloo",
+            ],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout)
+    import json as _json
+
+    outs = []
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"pod_bench worker failed:\n{log[-4000:]}"
+        line = [l for l in log.splitlines() if l.startswith("{")][-1]
+        outs.append(_json.loads(line))
+    for o in outs:
+        assert o["devices"] == 8 and o["processes"] == 2
+        assert o["num_envs"] == 16
+        assert o["global"] > 0
+        # per_host/global are independently rounded to 1 decimal
+        assert o["per_host"] * 2 == pytest.approx(o["global"], abs=0.2)
+    assert {o["process_id"] for o in outs} == {0, 1}
