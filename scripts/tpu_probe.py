@@ -49,6 +49,7 @@ def time_step(tag):
         prng_impl=os.environ.get("BENCH_PRNG", "threefry2x32"),
         conv_sampling=os.environ.get("BENCH_CONV", "counts"),
         rev_sampling=os.environ.get("BENCH_REV", "sum"),
+        cost_sampling=os.environ.get("BENCH_COST", "agg"),
         lane_bits=int(os.environ.get("BENCH_LANE_BITS", "16")),
         binomial_sampler=os.environ.get("BENCH_BINOM", "inversion"),
         gate_scope=os.environ.get("BENCH_GATE_SCOPE", "global"),
@@ -177,6 +178,45 @@ def patch_nocostdraws():
     dist_mod.truncated_laplace = const_trunc
 
 
+def patch_nomoments():
+    """Replace the exact cent-moment grid with constants (timing only)."""
+    from adcraft_tpu import distributions as dist_mod
+
+    def const_moments(bid, loc, scale, grid):
+        bid = jnp.asarray(bid, jnp.float32)
+        one = jnp.ones_like(bid)
+        return 47.5 * one, 23.8 * one, jnp.maximum(jnp.round(bid * 100.0) - 1.0, 0.0)
+
+    dist_mod.single_cost_cent_moments = const_moments
+
+
+def patch_nogate_agg():
+    """Agg gate -> unconditional full acceptance (timing only)."""
+    import adcraft_tpu.step as step_mod
+
+    def accept_all(budget0, broken0, s_full, first_cost, n_clicks, resolve_fn,
+                   max_iter=0):
+        n = s_full.shape[0]
+        sim = jnp.full((n,), True)
+        return (budget0, broken0), (n_clicks, s_full, sim)
+
+    step_mod._gate_keywords_lazy_agg = accept_all
+
+
+def patch_nobinom_agg():
+    """Inversion binomials -> deterministic round(n*p) (timing only)."""
+    from adcraft_tpu import distributions as dist_mod
+
+    def det_binomial_inv(key, n, p, nmax=0, bits=32, shape=None):
+        n = jnp.asarray(n, jnp.float32)
+        p = jnp.clip(jnp.asarray(p, jnp.float32), 0.0, 1.0)
+        if shape is None:
+            shape = jnp.broadcast_shapes(n.shape, p.shape)
+        return jnp.broadcast_to(jnp.round(n * p), shape).astype(jnp.int32)
+
+    dist_mod.binomial_inv = det_binomial_inv
+
+
 if __name__ == "__main__":
     variants = sys.argv[1:] or ["full", "fixed4", "nogate", "nobinom"]
     for v in variants:
@@ -193,6 +233,12 @@ if __name__ == "__main__":
             patch_linearcost()
         elif v == "nocost":
             patch_nocostdraws()
+        elif v == "nomoments":
+            patch_nomoments()
+        elif v == "nogate_agg":
+            patch_nogate_agg()
+        elif v == "nobinom_agg":
+            patch_nobinom_agg()
         else:
             raise SystemExit(f"unknown variant {v}")
         time_step(v)

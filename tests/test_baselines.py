@@ -215,3 +215,68 @@ def test_interpolation_head_to_head_vs_reference_oracle():
                     np.testing.assert_allclose(
                         np.asarray(probs[i]), acq_ref, rtol=1e-6, atol=1e-9,
                         err_msg=f"acquisition kw{i} step {t}")
+
+
+@pytest.mark.unit
+def test_interpolation_head_to_head_on_real_env_episode():
+    """Same head-to-head as above, but driven by a REAL env rollout
+    (VERDICT r2 weak 6): the oracle's sampled actions step an x64
+    BiddingSimulation day; both agents ingest the genuine observations.
+    Bids, budgets and caches must stay identical for the whole episode —
+    this exercises the decimal-key acquisition cutoff (ADVICE r2) on
+    observation streams the env actually produces."""
+    from adcraft_tpu.env import env_reset, env_step
+    from adcraft_tpu.oracle.interp_agent import OracleInterpolationStrategy
+
+    K, DAYS = 4, 30
+    with jax.enable_x64(True):
+        cfg = EnvConfig(
+            num_keywords=K,
+            kind=KeywordKind.IMPLICIT,
+            max_volume=96,
+            max_days=DAYS,
+            use_x64=True,
+        )
+        table = simple_experiment_table(32, 0.5)
+        state, _ = env_reset(cfg, jax.random.PRNGKey(11), table=table)
+
+        oracle = OracleInterpolationStrategy(K, seed=5)
+        agent = NaiveInterpolationStrategy(K)
+        astate = agent.init()
+
+        for day in range(DAYS):
+            action = oracle.sample_action()
+            o_bids = np.asarray(action["keyword_bids"], np.float64)
+            idx = jnp.asarray(
+                [i if i >= 0 else 0 for i in oracle.last_indices], jnp.int32
+            )
+            astate, j_action = agent.act(astate, jax.random.PRNGKey(day), idx=idx)
+            np.testing.assert_allclose(
+                np.asarray(j_action["keyword_bids"]), o_bids, rtol=0,
+                atol=1e-12, err_msg=f"bids diverge on real env at day {day}",
+            )
+            np.testing.assert_allclose(
+                float(j_action["budget"]), float(action["budget"]), rtol=1e-9,
+                err_msg=f"budget diverges on real env at day {day}",
+            )
+
+            state, ts = env_step(
+                cfg, state, jnp.asarray(o_bids), jnp.asarray(float(action["budget"]))
+            )
+            obs = {
+                k: np.asarray(v, np.float64)
+                for k, v in ts.obs.items()
+                if k in (
+                    "impressions", "buyside_clicks", "cost",
+                    "sellside_conversions", "revenue",
+                )
+            }
+            oracle.update_all_caches(action, obs)
+            astate = agent.update(astate, jnp.asarray(o_bids), obs)
+
+            for i in range(K):
+                c = oracle.caches[i]
+                np.testing.assert_allclose(
+                    float(astate.cache.ave_rpc[i]), c["ave_rpc"], rtol=1e-9,
+                    err_msg=f"ave_rpc kw{i} day {day}")
+                assert int(astate.cache.num_rpc_obs[i]) == c["num_rpc_obs"]
