@@ -327,6 +327,7 @@ def _gate_keywords_lazy_agg(
     n_clicks: Array,
     resolve_fn,
     max_iter: int,
+    speculate: int = 8,
 ) -> Tuple[Tuple[Array, Array], Tuple[Array, Array, Array]]:
     """Lazy budget gate over AGGREGATE per-cell spend draws.
 
@@ -357,6 +358,7 @@ def _gate_keywords_lazy_agg(
     n = s_full.shape[0]
     karange = jnp.arange(n)
     zero = jnp.zeros((), s_full.dtype)
+    w = max(1, min(int(speculate), n))
 
     def body(carry):
         spend, p, fixed, bres, _done, it = carry
@@ -373,14 +375,34 @@ def _gate_keywords_lazy_agg(
         )
         bad = ~(okres | okfull | okzero)
         j = jnp.min(jnp.where(bad, karange, n))
-        jc = jnp.minimum(j, n - 1)
-        Bj = jnp.take(B, jc)
-        pj, sj = resolve_fn(jc, Bj, jnp.take(n_clicks, jc))
-        hit = karange == j
-        spend2 = jnp.where(hit, sj, spend2)
-        p2 = jnp.where(hit, pj, p2)
-        fixed2 = fixed | hit
-        bres2 = jnp.where(hit, Bj, bres)
+
+        # Speculative multi-resolution: the first `w` bad cells are
+        # resolved in one sweep against DELTA-THREADED budget guesses —
+        # B2[j_v] (the budget j_v would see next sweep if nothing before
+        # it reclassifies) minus the spend deltas of the earlier
+        # resolutions this sweep (exact when only zero/full cells sit
+        # between consecutive bad cells, the common budget-decay tail).
+        # Wrong guesses are harmless: a resolution is only USED while
+        # `bres == B` holds exactly (okres), so mis-speculated cells are
+        # simply re-resolved — the fixed point is unchanged, only the
+        # sweep count drops ~w-fold on decay chains.
+        masked = jnp.where(bad, karange, n)
+        jw = -jax.lax.top_k(-masked, w)[0]  # w smallest bad indices, ascending
+        excl2 = jnp.concatenate([zero[None], jnp.cumsum(spend2)[:-1]])
+        b2 = budget0 - excl2
+
+        def spec(cum_delta, jv):
+            jvc = jnp.minimum(jv, n - 1)
+            b_spec = jnp.take(b2, jvc) - cum_delta
+            pv, sv = resolve_fn(jvc, b_spec, jnp.take(n_clicks, jvc))
+            delta = jnp.where(jv < n, sv - jnp.take(spend2, jvc), zero)
+            return cum_delta + delta, (pv, sv, b_spec)
+
+        _, (pw, sw, bw) = lax.scan(spec, zero, jw)
+        spend2 = spend2.at[jw].set(sw, mode="drop")
+        p2 = p2.at[jw].set(pw, mode="drop")
+        fixed2 = fixed.at[jw].set(True, mode="drop")
+        bres2 = bres.at[jw].set(bw, mode="drop")
 
         changed = (
             jnp.any(spend2 != spend)

@@ -666,3 +666,58 @@ def test_bench_shape_day_matches_native_oracle(budget):
         assert float(np.sum(ref["cost"])) <= budget + 1e-5
     # the regime actually exercises volume: every keyword saw auctions
     assert int(np.asarray(day.volume).min()) > 0
+
+
+@pytest.mark.unit
+def test_lazy_agg_gate_fuzz_vs_scan_agg_gate():
+    """Randomized adversarial agg-gate inputs (zero costs, zero budgets,
+    n=0 cells, speculation-hostile alternating partial cells): the
+    speculative lazy-agg gate must equal the sequential scan-agg gate
+    bit-for-bit. resolve_fn reads a fixed table whose first lane equals
+    first_cost, mirroring the production key-consistency contract."""
+    from functools import partial
+
+    from adcraft_tpu.step import (
+        _gate_keywords_lazy_agg,
+        _gate_keywords_scan_agg,
+    )
+
+    N, m = 24, 4
+    rng = np.random.default_rng(11)
+    for trial in range(150):
+        n = jnp.asarray(rng.integers(0, m + 1, N), jnp.int32)
+        table = jnp.asarray(rng.integers(0, 5, (N, m)), jnp.int32)
+        s_full = jnp.asarray(rng.integers(0, 12, N), jnp.int32)
+        first_cost = table[:, 0]
+        budget0 = jnp.asarray(int(rng.integers(-1, 30)), jnp.int32)
+        broken0 = jnp.asarray(bool(rng.integers(0, 2)))
+
+        def resolve(j, B, nk, table=table, m=m):
+            col = table[j]
+            prefix = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(col)]
+            )
+            ok = (prefix[1:] <= B) & (jnp.arange(m) < nk)
+            pj = jnp.sum(ok.astype(jnp.int32)).astype(jnp.int32)
+            return pj, prefix[pj]
+
+        for spec in (1, 3, 8):
+            lazy = jax.jit(
+                partial(
+                    _gate_keywords_lazy_agg,
+                    resolve_fn=resolve,
+                    max_iter=N + 2,
+                    speculate=spec,
+                )
+            )
+            scan = jax.jit(
+                partial(_gate_keywords_scan_agg, resolve_fn=resolve)
+            )
+            a = jax.tree.map(
+                np.asarray, lazy(budget0, broken0, s_full, first_cost, n)
+            )
+            b = jax.tree.map(np.asarray, scan(budget0, broken0, s_full, n))
+            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+                np.testing.assert_array_equal(
+                    x, y, err_msg=f"trial {trial} speculate={spec}"
+                )
