@@ -222,6 +222,110 @@ def explicit_auction(
     return CellAuction(impressions, n_candidates, costs)
 
 
+def nth_price_auction_device(
+    bid: Array,
+    other_bids: Array,
+    n: int = 2,
+    num_winners: int = 2,
+):
+    """Device-path general nth-price auction over materialized bids.
+
+    The full generality of the reference's ``nth_price_auction``
+    (synthetic_kw_helpers.py:116-180) — arbitrary price index ``n``,
+    multi-winner placements, zero-padding when an auction has fewer than
+    ``num_winners + n`` bidders — vectorized over the auction axis for
+    the TPU instead of the reference's per-auction searchsorted loop.
+    The env hot path never needs this (the reference only ever calls it
+    with n=2, num_winners=1, where the closed-form reductions above are
+    exact); it exists for API parity with users who call the helper
+    directly, and for pool-model experiments with several ad slots.
+
+    Args: ``bid`` scalar (or (A,) per-auction), ``other_bids`` (A, B).
+    Returns static-shape per-auction arrays instead of the reference's
+    ragged lists:
+      impressions — scalar int32, number of auctions won;
+      won         — (A,) bool, win mask;
+      placements  — (A,) int32, 0 = top spot .. num_winners-1; valid
+                    where ``won`` (0 elsewhere);
+      costs       — (A,) money, the (n-1)-below clearing price (``bid``
+                    itself for n=1); valid where ``won`` (0 elsewhere).
+    ``costs[won]`` / ``placements[won]`` reproduce the reference's lists
+    (order preserved; cross-checked against the numpy/C++ oracles in
+    tests/test_auction.py).
+    """
+    if n < 1 or num_winners < 1:
+        raise ValueError("n and num_winners must be >= 1")
+    other_bids = jnp.asarray(other_bids)
+    a, b = other_bids.shape
+    width = num_winners + n
+    # top `width` competitor bids per auction, ascending, zero-padded on
+    # the low side when the auction has fewer than `width` bidders
+    # (synthetic_kw_helpers.py:152-161)
+    if b >= width:
+        top = jnp.flip(jax.lax.top_k(other_bids, width)[0], axis=1)
+    else:
+        pad = jnp.zeros((a, width - b), other_bids.dtype)
+        top = jnp.sort(jnp.concatenate([pad, other_bids], axis=1), axis=1)
+    # -inf entries mark ABSENT bidders (variable per-auction bidder counts
+    # under static shapes). The reference instead zero-pads short auctions
+    # (synthetic_kw_helpers.py:157-161) and its zeros PARTICIPATE in the
+    # sort (they sit above negative bids), so convert surviving -inf slots
+    # to 0 and re-sort the (small) top array.
+    top = jnp.sort(jnp.where(jnp.isneginf(top), 0.0, top), axis=1)
+    bid = jnp.broadcast_to(jnp.asarray(bid, top.dtype), (a,))
+    # left-searchsorted insertion index = count of strictly smaller bids
+    idx = jnp.sum((top < bid[:, None]).astype(jnp.int32), axis=1)
+    won = idx > n
+    placements = jnp.where(won, width - idx, 0).astype(jnp.int32)
+    if n > 1:
+        cost_idx = jnp.maximum(idx - (n - 1), 0)
+        cleared = jnp.take_along_axis(top, cost_idx[:, None], axis=1)[:, 0]
+    else:
+        cleared = bid  # 1st price: pay your own bid
+    costs = jnp.where(won, cleared, jnp.zeros_like(cleared))
+    impressions = jnp.sum(won.astype(jnp.int32))
+    return impressions, won, placements, costs
+
+
+def implicit_pool_auction_general(
+    key: Array,
+    bid: Array,
+    n_auctions: int,
+    bid_loc: Array,
+    bid_scale: Array,
+    max_bidders: Array,
+    participation_rate: Array,
+    n: int = 2,
+    num_winners: int = 2,
+):
+    """Keyed pool-model auctions through the general device clearing path.
+
+    Materializes the reference's competitor tensor for ONE keyword-day
+    cell — ``k ~ Binomial(max_bidders, participation_rate)`` drawn once
+    per call (the reference's "iffy: same num bidders in every sample"
+    quirk, synthetic_kw_classes.py:610-621), each bidder raw
+    Laplace(loc, scale) — and clears every auction with
+    ``nth_price_auction_device``. Shapes are static in
+    ``(n_auctions, max_bidders_static)``; non-participating bidder slots
+    are masked to -inf so they can never place.
+
+    This is the opt-in general capability (arbitrary n / num_winners /
+    placements); the env hot path uses the closed-form
+    ``implicit_pool_auction`` reduction instead, which is exact for the
+    n=2, num_winners=1 configuration the reference uses.
+    """
+    k_bidders, k_bids = jax.random.split(key)
+    bmax = int(max_bidders)
+    k = dist.binomial(k_bidders, jnp.asarray(bmax), participation_rate)
+    u = jax.random.uniform(
+        k_bids, (int(n_auctions), bmax), minval=1e-7, maxval=1.0 - 1e-7
+    )
+    lap = dist.laplace_icdf(u, bid_loc, bid_scale)
+    mask = jnp.arange(bmax)[None, :] < k
+    other = jnp.where(mask, lap, -jnp.inf)
+    return nth_price_auction_device(bid, other, n=n, num_winners=num_winners)
+
+
 def run_cell_auctions(
     cfg: EnvConfig,
     key: Array,

@@ -190,6 +190,19 @@ class EnvConfig:
     # (the reference's bid grid tops out at $3.00).
     agg_cost_grid: int = 304
 
+    # Number of per-click cost lanes pre-materialized per cell under
+    # cost_sampling="agg" (the "lite" lane table). Any cell whose budget
+    # acceptance is decided within the first L lanes (n_clicks <= L, or
+    # the L-lane prefix already exceeds the cell's start budget) is
+    # resolved in the gate's BULK O(N) class pass instead of costing one
+    # lockstep while-loop sweep. This is what keeps budget-decay tails
+    # cheap: once the day's budget is nearly exhausted, cells accept
+    # 0..L clicks and bulk-resolve, so the while loop only runs for the
+    # (typically single) cell where the budget lands beyond lane L.
+    # Costs L extra 16/32-bit draws per cell (~t*k*L words/env-day,
+    # negligible against the PRNG bound; PLAN.md "Perf model").
+    agg_lite_lanes: int = 4
+
     # Bit width of the uniform driving each implicit-single cost lane draw:
     # 32 (default; full jax.random.uniform words) or 16 (two lane draws per
     # threefry word — the inverse-CDF input is quantized to 2^-16, which
@@ -251,6 +264,8 @@ class EnvConfig:
             )
         if self.agg_cost_grid < 2:
             raise ValueError("agg_cost_grid must be >= 2")
+        if self.agg_lite_lanes < 1:
+            raise ValueError("agg_lite_lanes must be >= 1")
         if self.lane_bits not in (16, 32):
             raise ValueError("lane_bits must be 16 or 32")
         if self.binomial_sampler not in ("exact", "inversion"):

@@ -92,7 +92,9 @@ def prng_words_per_env_day(cfg, num_keywords: Optional[int] = None):
     # cost models always draw full-word normals.
     if cfg.cost_sampling == "agg":
         words += t * k  # aggregate spend normals
-        words += t * k * half  # per-cell first-lane costs (zero class)
+        # per-cell lite lane costs (the gate's bulk-resolution table)
+        lite = min(cfg.agg_lite_lanes, cfg.max_clicks_rest)
+        words += t * k * lite * half
     else:
         cost_half = half if cfg.kind is KeywordKind.IMPLICIT else 1.0
         words += lanes * cost_half

@@ -323,86 +323,104 @@ def _gate_keywords_lazy_agg(
     budget0: Array,
     broken0: Array,
     s_full: Array,
-    first_cost: Array,
+    lite_costs: Array,
     n_clicks: Array,
     resolve_fn,
     max_iter: int,
-    speculate: int = 8,
+    speculate: int = 1,
 ) -> Tuple[Tuple[Array, Array], Tuple[Array, Array, Array]]:
     """Lazy budget gate over AGGREGATE per-cell spend draws.
 
     ``cost_sampling="agg"``'s counterpart of ``_gate_keywords_lazy``:
-    instead of (M+1, N) prefix tables there are two scalars per cell —
-    the aggregate full-cell spend ``s_full[j]`` and the cell's FIRST
-    per-click cost ``first_cost[j]`` (drawn in the sampling phase from
-    the lane stream's dedicated first-lane key, so it is bit-consistent
-    with ``resolve_fn``'s lane column). The per-cell acceptance rule is
+    instead of (M+1, N) prefix tables each cell carries the aggregate
+    full-cell spend ``s_full[j]`` plus a small "lite" lane table
+    ``lite_costs[:, j]`` — its FIRST L per-click cost draws (L =
+    ``EnvConfig.agg_lite_lanes``), drawn in the sampling phase from the
+    lane stream's dedicated lite key so they are bit-consistent with the
+    first L entries of ``resolve_fn``'s lane column. The per-cell
+    acceptance rule evaluated each sweep is
 
-        g_j(B) = (n_j, s_full[j])      if s_full[j] <= B        (full)
-                 (0, 0)                elif first_cost[j] > B   (zero)
-                 resolve_fn(j, B, n_j) otherwise                (partial)
+        g_j(B) = (n_j, s_full[j])       if s_full[j] <= B           (full)
+                 lite-prefix resolution if n_j <= L or
+                                           lite_prefix[L, j] > B    (lite)
+                 resolve_fn(j, B, n_j)  otherwise                   (deep)
 
-    where ``resolve_fn`` lane-materializes that single cell's remaining
-    per-click cost draws on the fly and takes the maximal affordable
-    prefix. The zero class is essential, not an optimization: after the
-    budget is effectively exhausted mid-day (remaining B smaller than
-    any club of costs but still > 0 — the reference only breaks at
-    B <= 0), EVERY remaining cell is non-full, and without the
-    first-cost test each would cost one O(M) resolution sweep,
-    serializing the day (observed 12x CPU slowdown). With it, the tail
-    bulk-classifies to zero in O(N) like the lanes lazy gate. Sweep
-    scheme and epilogue identical to ``_gate_keywords_lazy``;
-    bit-identical to the sequential ``_gate_keywords_scan_agg``
-    cross-validation gate (tests).
+    The lite class is resolved for ALL cells in the bulk O(L*N) pass: when
+    acceptance is decided within the first L lanes (every lane < n_j is in
+    the table, or the L-lane prefix already exceeds B), the maximal
+    affordable prefix over the lite table IS the full resolution. This is
+    what keeps budget-decay tails cheap — after the budget is effectively
+    exhausted mid-day (remaining B below a few click costs but still > 0;
+    the reference only breaks at B <= 0), every remaining cell accepts
+    0..L clicks and bulk-classifies, so the while loop runs only for
+    cells whose budget lands beyond lane L (typically the single
+    exhaustion cell of the day). Without it each tail cell with a cheap
+    first click costs one full lockstep sweep — across a vmapped batch
+    the WORST env's chain length serializes everyone (measured 65k ->
+    37k env-steps/s/chip regression from one such extra O(w) term;
+    PLAN.md "Measured perf (round 3)").
+
+    TPU shape discipline (measured; PLAN.md "Measured perf (round 3)"):
+    every per-sweep op is elementwise, a reduction, or a scalar-indexed
+    slice/take. In particular the lite resolution uses the prefix-mask
+    identity ``spend = sum(costs * accept_mask)`` instead of a
+    per-column gather (a (L+1, N) take_along_axis in the while body
+    lowered to a ~200 ms serialized gather at 4096 envs — 45x step
+    regression), and the deep resolution writes back through a
+    broadcast ``karange == j`` select, not a scatter. ``speculate`` is
+    accepted for signature stability but speculative multi-resolution
+    was measured a TPU regression (inner scan + top_k per sweep) and is
+    not performed. Sweep scheme and epilogue identical to
+    ``_gate_keywords_lazy``; bit-identical to the sequential
+    ``_gate_keywords_scan_agg`` cross-validation gate (tests).
     """
+    del speculate  # measured TPU regression; kept for call compatibility
     n = s_full.shape[0]
+    L = lite_costs.shape[0]
     karange = jnp.arange(n)
+    lane_l = jnp.arange(L)
     zero = jnp.zeros((), s_full.dtype)
-    w = max(1, min(int(speculate), n))
+    # (L, N) lite prefix — B-independent, computed once per gate call
+    lite_cum = jnp.cumsum(lite_costs, axis=0)
+    lite_end = lite_cum[L - 1]
+    lite_decided_static = n_clicks <= L  # all relevant lanes are in the table
 
     def body(carry):
         spend, p, fixed, bres, _done, it = carry
         excl = jnp.concatenate([zero[None], jnp.cumsum(spend)[:-1]])
         B = budget0 - excl
-        okres = fixed & (bres == B)
+        # class order matters: scan-agg checks FULL first, so a cached
+        # deep resolution (okres) must never shadow a full-by-aggregate
+        # cell — resolutions are stored for budgets where the cell was
+        # bad (s_full > B), so okres and okfull are disjoint anyway
         okfull = s_full <= B
-        okzero = first_cost > B  # covers B < 0 too (costs are nonneg)
+        okres = ~okfull & fixed & (bres == B)
+        # lite resolution: maximal affordable prefix within the lite
+        # lanes. ``okl`` is a PREFIX mask (cumsum nondecreasing, lane
+        # bound monotone), so the accepted spend is the masked cost sum —
+        # no gather.
+        okl = (lite_cum <= B[None, :]) & (lane_l[:, None] < n_clicks[None, :])
+        okl_i = okl.astype(jnp.int32)
+        p_lite = jnp.sum(okl_i, axis=0).astype(jnp.int32)
+        s_lite = jnp.sum(lite_costs * okl_i.astype(lite_costs.dtype), axis=0)
+        oklite = ~okfull & (lite_decided_static | (lite_end > B))
         spend2 = jnp.where(
-            okres, spend, jnp.where(okfull, s_full, jnp.where(okzero, zero, spend))
+            okfull, s_full, jnp.where(okres, spend, jnp.where(oklite, s_lite, spend))
         )
         p2 = jnp.where(
-            okres, p, jnp.where(okfull, n_clicks, jnp.where(okzero, 0, p))
+            okfull, n_clicks, jnp.where(okres, p, jnp.where(oklite, p_lite, p))
         )
-        bad = ~(okres | okfull | okzero)
+        bad = ~(okres | okfull | oklite)
         j = jnp.min(jnp.where(bad, karange, n))
-
-        # Speculative multi-resolution: the first `w` bad cells are
-        # resolved in one sweep against DELTA-THREADED budget guesses —
-        # B2[j_v] (the budget j_v would see next sweep if nothing before
-        # it reclassifies) minus the spend deltas of the earlier
-        # resolutions this sweep (exact when only zero/full cells sit
-        # between consecutive bad cells, the common budget-decay tail).
-        # Wrong guesses are harmless: a resolution is only USED while
-        # `bres == B` holds exactly (okres), so mis-speculated cells are
-        # simply re-resolved — the fixed point is unchanged, only the
-        # sweep count drops ~w-fold on decay chains.
-        masked = jnp.where(bad, karange, n)
-        jw = -jax.lax.top_k(-masked, w)[0]  # w smallest bad indices, ascending
-        excl2 = jnp.concatenate([zero[None], jnp.cumsum(spend2)[:-1]])
-        b2 = budget0 - excl2
-
-        def spec(cum_delta, jv):
-            jvc = jnp.minimum(jv, n - 1)
-            b_spec = jnp.take(b2, jvc) - cum_delta
-            pv, sv = resolve_fn(jvc, b_spec, jnp.take(n_clicks, jvc))
-            delta = jnp.where(jv < n, sv - jnp.take(spend2, jvc), zero)
-            return cum_delta + delta, (pv, sv, b_spec)
-
-        _, (pw, sw, bw) = lax.scan(spec, zero, jw)
-        spend2 = spend2.at[jw].set(sw, mode="drop")
-        p2 = p2.at[jw].set(pw, mode="drop")
-        fixed2 = fixed.at[jw].set(True, mode="drop")
-        bres2 = bres.at[jw].set(bw, mode="drop")
+        jc = jnp.minimum(j, n - 1)
+        # deep-resolve the first bad cell against its start budget
+        Bj = jnp.take(B, jc)
+        pj, sj = resolve_fn(jc, Bj, jnp.take(n_clicks, jc))
+        hit = karange == j
+        spend2 = jnp.where(hit, sj, spend2)
+        p2 = jnp.where(hit, pj, p2)
+        fixed2 = fixed | hit
+        bres2 = jnp.where(hit, Bj, bres)
 
         changed = (
             jnp.any(spend2 != spend)
@@ -481,7 +499,7 @@ def _gate_keywords_scan_agg(
 
 def _cell_tables(
     cfg: EnvConfig, k_cells, kw, bids, t, n_auc_t, m: int, dtype,
-    cost_moments=None,
+    cost_moments=None, lite_lanes: int = 0,
 ):
     """Sample one sub-timestep's draw tables, prefix-summed for gating.
 
@@ -521,18 +539,20 @@ def _cell_tables(
         s_full = dist.agg_cost_cents(
             k_sfull, n_clicks, mu_c, sig_c, cmax_c, cents_dtype
         )
-        # each cell's FIRST per-click cost, from the lane stream's
-        # dedicated first-lane key (split(k_lanes)[0]) — the gate's cheap
-        # zero classification for budget-exhausted tails, bit-consistent
-        # with _resolve_cell's lane column
-        k_first = jax.random.split(k_lanes)[0]
+        # each cell's FIRST L per-click costs (the "lite" lane table),
+        # from the lane stream's dedicated lite key (split(k_lanes)[0]) —
+        # the gate's bulk resolution of cells decided within L lanes
+        # (budget-exhausted tails), bit-consistent with _resolve_cell's
+        # lane column whose first L entries are exactly these draws
+        lite = lite_lanes
+        k_lite = jax.random.split(k_lanes)[0]
         y0 = bids - 0.005
         tr0 = dist.truncated_laplace(
-            k_first, kw.bid_loc, kw.bid_scale, -y0, y0, (K,),
-            bits=cfg.lane_bits,
+            k_lite, kw.bid_loc[None, :], kw.bid_scale[None, :],
+            -y0[None, :], y0[None, :], (lite, K), bits=cfg.lane_bits,
         )
-        first_cost = jnp.round(jnp.abs(tr0) * 100.0).astype(cents_dtype)
-        out = [impressions, n_clicks, s_full, first_cost]
+        lite_costs = jnp.round(jnp.abs(tr0) * 100.0).astype(cents_dtype)
+        out = [impressions, n_clicks, s_full, lite_costs]
     else:
         # NB all (M, K) tensors are lane-major: K rides the 128-lane axis
         # (K ~ 100 pads 1.28x vs 2.7x for M ~ 48 on the lane axis)
@@ -647,16 +667,20 @@ def simulate_day(
         cost_moments = dist.single_cost_cent_moments(
             bids, kw.bid_loc, kw.bid_scale, cfg.agg_cost_grid
         )
+        # uniform lite-lane count across both buffer tiers so the global
+        # scope can stack the (L, K) lite tables over sub-timesteps
+        L_lite = min(cfg.agg_lite_lanes, cfg.max_clicks_rest)
 
-        def _resolve_cell(t, k, fc, B, nk, m):
+        def _resolve_cell(t, k, lite_col, B, nk, m):
             """Lane-materialize ONE budget-partial cell's cost draws.
 
-            The column's first element is the already-sampled first-lane
-            cost ``fc`` (the gate's zero-class value, drawn from
-            split(k_lanes)[0] in _cell_tables); lanes 1..m-1 come from a
-            fresh keyed stream (split(k_lanes)[1] folded by keyword),
-            distinct from the aggregate-draw site. Returns the maximal
-            affordable prefix (accepted clicks, spend cents)."""
+            The column's first L entries are the already-sampled lite
+            lane draws ``lite_col`` (drawn from split(k_lanes)[0] in
+            _cell_tables — the gate's bulk-resolution values); lanes
+            L..m-1 come from a fresh keyed stream (split(k_lanes)[1]
+            folded by keyword), distinct from the aggregate-draw site.
+            Returns the maximal affordable prefix (accepted clicks,
+            spend cents)."""
             kt = jax.random.fold_in(k_cells, t)
             k_auc = jax.random.split(kt, 4)[0]
             k_cost = jax.random.split(k_auc)[1]
@@ -666,14 +690,15 @@ def simulate_day(
             loc = jnp.take(kw.bid_loc, k)
             scale = jnp.take(kw.bid_scale, k)
             y0 = jnp.take(jnp.asarray(bids), k) - 0.005
-            if m > 1:
+            if m > L_lite:
                 tr = dist.truncated_laplace(
-                    k_col, loc, scale, -y0, y0, (m - 1,), bits=cfg.lane_bits
+                    k_col, loc, scale, -y0, y0, (m - L_lite,),
+                    bits=cfg.lane_bits,
                 )
                 rest = jnp.round(jnp.abs(tr) * 100.0).astype(cdt_agg)
-                costs = jnp.concatenate([fc[None].astype(cdt_agg), rest])
+                costs = jnp.concatenate([lite_col.astype(cdt_agg), rest])
             else:
-                costs = fc[None].astype(cdt_agg)
+                costs = lite_col[:m].astype(cdt_agg)
             prefix = jnp.concatenate(
                 [jnp.zeros((1,), cdt_agg), jnp.cumsum(costs)]
             )
@@ -681,11 +706,11 @@ def simulate_day(
             pj = jnp.sum(ok.astype(jnp.int32)).astype(jnp.int32)
             return pj, prefix[pj]
 
-        def gate_agg(b, broken, s_full_n, fc_n, ncl_n, resolve):
+        def gate_agg(b, broken, s_full_n, lite_n, ncl_n, resolve):
             if gate_mode == "scan":
                 return _gate_keywords_scan_agg(b, broken, s_full_n, ncl_n, resolve)
             return _gate_keywords_lazy_agg(
-                b, broken, s_full_n, fc_n, ncl_n, resolve,
+                b, broken, s_full_n, lite_n, ncl_n, resolve,
                 max_iter=s_full_n.shape[0] + 2,
             )
     else:
@@ -709,44 +734,52 @@ def simulate_day(
     def _unpack(tab):
         it = iter(tab)
         imp, ncl, cpre = next(it), next(it), next(it)
-        fc = next(it) if agg else None  # agg: per-cell first-lane cost
+        lite = next(it) if agg else None  # agg: (L, K) lite lane costs
         vpre = None if counts else next(it)
         rpre = None if rev_sum else next(it)
-        return imp, ncl, cpre, fc, vpre, rpre
+        return imp, ncl, cpre, lite, vpre, rpre
+
+    def _lite_col(lite_lk, j):
+        """(L,) lite-cost column of cell j from an (L, N) lite table."""
+        ln = lite_lk.shape[0]
+        return jax.lax.dynamic_slice(lite_lk, (0, j), (ln, 1))[:, 0]
 
     tab0 = _cell_tables(
         cfg, k_cells, kw, bids, jnp.asarray(0), n_auctions[0],
         cfg.max_clicks_per_cell, dtype, cost_moments=cost_moments,
+        lite_lanes=L_lite if agg else 0,
     )
-    imp0, ncl0, cpre0, fc0, vpre0, rpre0 = _unpack(tab0)
+    imp0, ncl0, cpre0, lite0, vpre0, rpre0 = _unpack(tab0)
     if T > 1:
         # gate_scope="global" wants lane-major stacked tables (the (T-1, K)
         # cell grid flattens to lexicographic order for free); "per_t"
         # wants t-major so the gate scan slices per-sub-timestep tiles.
-        # agg mode's s_full/first_cost are (K,) per t — always t-major.
+        # agg mode's s_full is (K,) per t — always t-major; its (L, K)
+        # lite table is lane-major like the prefix tables.
         pax = 1 if cfg.gate_scope == "global" else 0
         axes = (0, 0, 0 if agg else pax)
-        axes += (0,) if agg else ()
+        axes += (pax,) if agg else ()
         axes += () if counts else (pax,)
         axes += () if rev_sum else (pax,)
         tabs1 = jax.vmap(
             lambda t, n: _cell_tables(
                 cfg, k_cells, kw, bids, t, n, cfg.max_clicks_rest, dtype,
                 cost_moments=cost_moments,
+                lite_lanes=L_lite if agg else 0,
             ),
             out_axes=axes,
         )(jnp.arange(1, T), n_auctions[1:])
-        imp1, ncl1, cpre1, fc1, vpre1, rpre1 = _unpack(tabs1)
+        imp1, ncl1, cpre1, lite1, vpre1, rpre1 = _unpack(tabs1)
 
     # ---- phase 2: the budget gate ----
     if agg:
         def resolve0(j, B, nk):
             return _resolve_cell(
-                0, j, jnp.take(fc0, j), B, nk, cfg.max_clicks_per_cell
+                0, j, _lite_col(lite0, j), B, nk, cfg.max_clicks_per_cell
             )
 
         (b, broken), (acc0, spend0, sim0) = gate_agg(
-            init_b, jnp.asarray(False), cpre0, fc0, ncl0, resolve0
+            init_b, jnp.asarray(False), cpre0, lite0, ncl0, resolve0
         )
     else:
         (b, broken), (acc0, spend0, sim0) = gate(
@@ -756,16 +789,16 @@ def simulate_day(
         t1 = T - 1
         if agg:
             if cfg.gate_scope == "global":
-                fc1f = fc1.reshape(t1 * K)
+                lite1f = lite1.reshape(L_lite, t1 * K)
 
                 def resolve1(j, B, nk):
                     return _resolve_cell(
-                        j // K + 1, j % K, jnp.take(fc1f, j), B, nk,
+                        j // K + 1, j % K, _lite_col(lite1f, j), B, nk,
                         cfg.max_clicks_rest,
                     )
 
                 (b, broken), (acc1f, spend1f, sim1f) = gate_agg(
-                    b, broken, cpre1.reshape(t1 * K), fc1f,
+                    b, broken, cpre1.reshape(t1 * K), lite1f,
                     ncl1.reshape(t1 * K), resolve1,
                 )
                 acc1 = acc1f.reshape(t1, K)
@@ -773,21 +806,21 @@ def simulate_day(
                 sim1 = sim1f.reshape(t1, K)
             else:
                 def gate_body(carry, xs):
-                    sfull_t, fc_t, ncl_t, t = xs
+                    sfull_t, lite_t, ncl_t, t = xs
 
                     def resolve(j, B, nk):
                         return _resolve_cell(
-                            t, j, jnp.take(fc_t, j), B, nk,
+                            t, j, _lite_col(lite_t, j), B, nk,
                             cfg.max_clicks_rest,
                         )
 
                     return gate_agg(
-                        carry[0], carry[1], sfull_t, fc_t, ncl_t, resolve
+                        carry[0], carry[1], sfull_t, lite_t, ncl_t, resolve
                     )
 
                 (b, broken), (acc1, spend1, sim1) = lax.scan(
                     gate_body, (b, broken),
-                    (cpre1, fc1, ncl1, jnp.arange(1, T)),
+                    (cpre1, lite1, ncl1, jnp.arange(1, T)),
                 )
         elif cfg.gate_scope == "global":
             m1p = cpre1.shape[0]

@@ -53,6 +53,7 @@ def time_step(tag):
         lane_bits=int(os.environ.get("BENCH_LANE_BITS", "16")),
         binomial_sampler=os.environ.get("BENCH_BINOM", "inversion"),
         gate_scope=os.environ.get("BENCH_GATE_SCOPE", "global"),
+        agg_lite_lanes=int(os.environ.get("BENCH_LITE", "4")),
     )
     table = simple_experiment_table(128, 0.8)
     venv = VectorBiddingEnv(cfg, NUM_ENVS, table=table)
@@ -203,6 +204,39 @@ def patch_nogate_agg():
     step_mod._gate_keywords_lazy_agg = accept_all
 
 
+def patch_maxiter_agg(cap: int):
+    """Cap the lazy-agg gate's while_loop iterations (timing only; WRONG
+    results when a gate needs more sweeps). A ladder of caps separates
+    per-sweep cost from sweep count: if step time scales with the cap,
+    envs are hitting it (non-convergence); if it saturates, the loop
+    converges below the cap."""
+    import adcraft_tpu.step as step_mod
+
+    orig = step_mod._gate_keywords_lazy_agg
+
+    def capped(b0, br, sf, lite, ncl, resolve_fn, max_iter, speculate=1):
+        return orig(b0, br, sf, lite, ncl, resolve_fn,
+                    min(max_iter, cap), speculate)
+
+    step_mod._gate_keywords_lazy_agg = capped
+
+
+def patch_noresolve_agg():
+    """Deep lane resolution -> constant (0, 0) (timing only; WRONG when a
+    budget-partial cell exists). Isolates resolve_fn's cost per sweep."""
+    import adcraft_tpu.step as step_mod
+
+    orig = step_mod._gate_keywords_lazy_agg
+
+    def gate(b0, br, sf, lite, ncl, resolve_fn, max_iter, speculate=1):
+        def dummy(j, B, nk):
+            return jnp.asarray(0, jnp.int32), jnp.zeros((), sf.dtype)
+
+        return orig(b0, br, sf, lite, ncl, dummy, max_iter, speculate)
+
+    step_mod._gate_keywords_lazy_agg = gate
+
+
 def patch_nobinom_agg():
     """Inversion binomials -> deterministic round(n*p) (timing only)."""
     from adcraft_tpu import distributions as dist_mod
@@ -239,6 +273,10 @@ if __name__ == "__main__":
             patch_nogate_agg()
         elif v == "nobinom_agg":
             patch_nobinom_agg()
+        elif v == "noresolve_agg":
+            patch_noresolve_agg()
+        elif v.startswith("maxiter"):
+            patch_maxiter_agg(int(v[len("maxiter"):]))
         else:
             raise SystemExit(f"unknown variant {v}")
         time_step(v)

@@ -671,10 +671,11 @@ def test_bench_shape_day_matches_native_oracle(budget):
 @pytest.mark.unit
 def test_lazy_agg_gate_fuzz_vs_scan_agg_gate():
     """Randomized adversarial agg-gate inputs (zero costs, zero budgets,
-    n=0 cells, speculation-hostile alternating partial cells): the
-    speculative lazy-agg gate must equal the sequential scan-agg gate
-    bit-for-bit. resolve_fn reads a fixed table whose first lane equals
-    first_cost, mirroring the production key-consistency contract."""
+    n=0 cells, alternating partial cells): the lazy-agg gate must equal
+    the sequential scan-agg gate bit-for-bit, across lite-lane widths
+    and speculation widths. resolve_fn reads a fixed table whose first
+    L lanes equal the lite table, mirroring the production
+    key-consistency contract."""
     from functools import partial
 
     from adcraft_tpu.step import (
@@ -684,40 +685,48 @@ def test_lazy_agg_gate_fuzz_vs_scan_agg_gate():
 
     N, m = 24, 4
     rng = np.random.default_rng(11)
-    for trial in range(150):
+
+    def _resolve(table, j, B, nk):
+        col = table[j]
+        prefix = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(col)]
+        )
+        ok = (prefix[1:] <= B) & (jnp.arange(m) < nk)
+        pj = jnp.sum(ok.astype(jnp.int32)).astype(jnp.int32)
+        return pj, prefix[pj]
+
+    # jit once per variant (table as an argument, not a closure) so the
+    # 100 trials reuse compiled programs
+    @jax.jit
+    def run_scan(budget0, broken0, s_full, n, table):
+        return _gate_keywords_scan_agg(
+            budget0, broken0, s_full, n, partial(_resolve, table)
+        )
+
+    @partial(jax.jit, static_argnums=(5,))
+    def run_lazy(budget0, broken0, s_full, lite_costs, n, spec, table):
+        return _gate_keywords_lazy_agg(
+            budget0, broken0, s_full, lite_costs, n,
+            partial(_resolve, table), max_iter=N + 2, speculate=spec,
+        )
+
+    for trial in range(100):
         n = jnp.asarray(rng.integers(0, m + 1, N), jnp.int32)
         table = jnp.asarray(rng.integers(0, 5, (N, m)), jnp.int32)
         s_full = jnp.asarray(rng.integers(0, 12, N), jnp.int32)
-        first_cost = table[:, 0]
         budget0 = jnp.asarray(int(rng.integers(-1, 30)), jnp.int32)
         broken0 = jnp.asarray(bool(rng.integers(0, 2)))
 
-        def resolve(j, B, nk, table=table, m=m):
-            col = table[j]
-            prefix = jnp.concatenate(
-                [jnp.zeros((1,), jnp.int32), jnp.cumsum(col)]
-            )
-            ok = (prefix[1:] <= B) & (jnp.arange(m) < nk)
-            pj = jnp.sum(ok.astype(jnp.int32)).astype(jnp.int32)
-            return pj, prefix[pj]
-
-        for spec in (1, 3, 8):
-            lazy = jax.jit(
-                partial(
-                    _gate_keywords_lazy_agg,
-                    resolve_fn=resolve,
-                    max_iter=N + 2,
-                    speculate=spec,
+        b = jax.tree.map(np.asarray, run_scan(budget0, broken0, s_full, n, table))
+        for lite in (1, 2, 4):
+            lite_costs = table[:, :lite].T  # (L, N)
+            for spec in (1, 3):
+                a = jax.tree.map(
+                    np.asarray,
+                    run_lazy(budget0, broken0, s_full, lite_costs, n, spec, table),
                 )
-            )
-            scan = jax.jit(
-                partial(_gate_keywords_scan_agg, resolve_fn=resolve)
-            )
-            a = jax.tree.map(
-                np.asarray, lazy(budget0, broken0, s_full, first_cost, n)
-            )
-            b = jax.tree.map(np.asarray, scan(budget0, broken0, s_full, n))
-            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
-                np.testing.assert_array_equal(
-                    x, y, err_msg=f"trial {trial} speculate={spec}"
-                )
+                for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+                    np.testing.assert_array_equal(
+                        x, y,
+                        err_msg=f"trial {trial} lite={lite} speculate={spec}",
+                    )
