@@ -136,8 +136,18 @@ class EnvConfig:
     # (M+1, K) tile; "global" gates all T*K cells in one call — fewer
     # dispatches but worst-case Jacobi sweep counts grow with the length
     # of budget-decay chains across the whole day (slow when the budget
-    # binds gradually). Bit-identical results either way.
+    # binds gradually; measured on TPU — PLAN.md "Measured perf (round
+    # 3)"); "chunk" (agg cost sampling only) scans groups of
+    # ``gate_chunk_t`` sub-timesteps, each gated in one flattened call —
+    # the sweet spot between scan length and per-sweep width when both
+    # dispatch overhead and worst-env sweep counts matter. Bit-identical
+    # results in every mode.
     gate_scope: str = "per_t"
+
+    # sub-timesteps per gate call when gate_scope="chunk"; tier-1's T-1
+    # sub-timesteps are zero-cell-padded up to a multiple (padding cells
+    # classify as full with zero spend, so results are unchanged).
+    gate_chunk_t: int = 4
 
     # How sellside conversions are sampled:
     #   "lanes"  (default) one Bernoulli flag per candidate click lane,
@@ -266,6 +276,12 @@ class EnvConfig:
             raise ValueError("agg_cost_grid must be >= 2")
         if self.agg_lite_lanes < 1:
             raise ValueError("agg_lite_lanes must be >= 1")
+        if self.gate_scope not in ("per_t", "global", "chunk"):
+            raise ValueError("gate_scope must be 'per_t', 'global' or 'chunk'")
+        if self.gate_scope == "chunk" and self.cost_sampling != "agg":
+            raise ValueError("gate_scope='chunk' requires cost_sampling='agg'")
+        if self.gate_chunk_t < 1:
+            raise ValueError("gate_chunk_t must be >= 1")
         if self.lane_bits not in (16, 32):
             raise ValueError("lane_bits must be 16 or 32")
         if self.binomial_sampler not in ("exact", "inversion"):

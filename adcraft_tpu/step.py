@@ -343,7 +343,7 @@ def _gate_keywords_lazy_agg(
         g_j(B) = (n_j, s_full[j])       if s_full[j] <= B           (full)
                  lite-prefix resolution if n_j <= L or
                                            lite_prefix[L, j] > B    (lite)
-                 resolve_fn(j, B, n_j)  otherwise                   (deep)
+                 resolve_fn(j, B, n_j, onehot(j))  otherwise        (deep)
 
     The lite class is resolved for ALL cells in the bulk O(L*N) pass: when
     acceptance is decided within the first L lanes (every lane < n_j is in
@@ -412,11 +412,18 @@ def _gate_keywords_lazy_agg(
         )
         bad = ~(okres | okfull | oklite)
         j = jnp.min(jnp.where(bad, karange, n))
-        jc = jnp.minimum(j, n - 1)
-        # deep-resolve the first bad cell against its start budget
-        Bj = jnp.take(B, jc)
-        pj, sj = resolve_fn(jc, Bj, jnp.take(n_clicks, jc))
+        # deep-resolve the first bad cell against its start budget.
+        # All cell-indexed reads go through the one-hot mask (never
+        # jnp.take / dynamic_slice with a traced index: under vmap those
+        # lower to per-env gathers, measured ~20-25 ms per sweep at 4096
+        # envs — PLAN.md "Measured perf (round 3)"). When no cell is bad
+        # (j == n) the masks are all-false, the resolver runs on zero
+        # inputs and its output is discarded by the same masks.
         hit = karange == j
+        hot = hit.astype(B.dtype)
+        Bj = jnp.sum(B * hot)
+        nkj = jnp.sum(n_clicks * hit.astype(n_clicks.dtype))
+        pj, sj = resolve_fn(j, Bj, nkj, hit)
         spend2 = jnp.where(hit, sj, spend2)
         p2 = jnp.where(hit, pj, p2)
         fixed2 = fixed | hit
@@ -486,7 +493,7 @@ def _gate_keywords_scan_agg(
         b, broken = carry
         sfull_j, nk, j = xs
         full = sfull_j <= b
-        pj, sj = resolve_fn(j, b, nk)
+        pj, sj = resolve_fn(j, b, nk, karange == j)
         p = jnp.where(full, nk, pj)
         spend = jnp.where(full, sfull_j, sj)
         p = jnp.where(broken, 0, p)
@@ -671,7 +678,9 @@ def simulate_day(
         # scope can stack the (L, K) lite tables over sub-timesteps
         L_lite = min(cfg.agg_lite_lanes, cfg.max_clicks_rest)
 
-        def _resolve_cell(t, k, lite_col, B, nk, m):
+        bids_f = jnp.asarray(bids)
+
+        def _resolve_cell(t, k, lite_col, loc, scale, y0, B, nk, m):
             """Lane-materialize ONE budget-partial cell's cost draws.
 
             The column's first L entries are the already-sampled lite
@@ -679,17 +688,19 @@ def simulate_day(
             _cell_tables — the gate's bulk-resolution values); lanes
             L..m-1 come from a fresh keyed stream (split(k_lanes)[1]
             folded by keyword), distinct from the aggregate-draw site.
-            Returns the maximal affordable prefix (accepted clicks,
-            spend cents)."""
+            Per-keyword params (lite_col, loc, scale, y0) arrive
+            pre-read by the caller's one-hot contractions — this body
+            contains NO traced-index memory op (see the gate docstring
+            on TPU shape discipline); ``t``/``k`` feed only scalar
+            fold_ins. Returns the maximal affordable prefix (accepted
+            clicks, spend cents); the spend is the masked cost sum —
+            ``ok`` is a prefix mask, so it equals the prefix at pj."""
             kt = jax.random.fold_in(k_cells, t)
             k_auc = jax.random.split(kt, 4)[0]
             k_cost = jax.random.split(k_auc)[1]
             k_lanes = jax.random.split(k_cost)[1]
             k_rest = jax.random.split(k_lanes)[1]
             k_col = jax.random.fold_in(k_rest, k)
-            loc = jnp.take(kw.bid_loc, k)
-            scale = jnp.take(kw.bid_scale, k)
-            y0 = jnp.take(jnp.asarray(bids), k) - 0.005
             if m > L_lite:
                 tr = dist.truncated_laplace(
                     k_col, loc, scale, -y0, y0, (m - L_lite,),
@@ -699,12 +710,26 @@ def simulate_day(
                 costs = jnp.concatenate([lite_col.astype(cdt_agg), rest])
             else:
                 costs = lite_col[:m].astype(cdt_agg)
-            prefix = jnp.concatenate(
-                [jnp.zeros((1,), cdt_agg), jnp.cumsum(costs)]
-            )
-            ok = (prefix[1:] <= B) & (jnp.arange(m) < nk)
+            csum = jnp.cumsum(costs)
+            ok = (csum <= B) & (jnp.arange(m) < nk)
             pj = jnp.sum(ok.astype(jnp.int32)).astype(jnp.int32)
-            return pj, prefix[pj]
+            sj = jnp.sum(costs * ok.astype(cdt_agg))
+            return pj, sj
+
+        def _hot_params(hit_k):
+            """One-hot reads of cell k's per-keyword params.
+
+            ``hit_k`` is a (K,) at-most-one-hot mask; all-false (the
+            gate's no-bad-cell sweep) yields zeros, whose garbage
+            resolution the gate discards through the same mask."""
+            loc = jnp.sum(jnp.where(hit_k, kw.bid_loc, 0.0))
+            scale = jnp.sum(jnp.where(hit_k, kw.bid_scale, 0.0))
+            y0 = jnp.sum(jnp.where(hit_k, bids_f, 0.0)) - 0.005
+            return loc, scale, y0
+
+        def _hot_lite_col(lite_lk, hit_n):
+            """(L,) lite-cost column selected by an (N,) one-hot mask."""
+            return jnp.sum(jnp.where(hit_n[None, :], lite_lk, 0), axis=1)
 
         def gate_agg(b, broken, s_full_n, lite_n, ncl_n, resolve):
             if gate_mode == "scan":
@@ -739,11 +764,6 @@ def simulate_day(
         rpre = None if rev_sum else next(it)
         return imp, ncl, cpre, lite, vpre, rpre
 
-    def _lite_col(lite_lk, j):
-        """(L,) lite-cost column of cell j from an (L, N) lite table."""
-        ln = lite_lk.shape[0]
-        return jax.lax.dynamic_slice(lite_lk, (0, j), (ln, 1))[:, 0]
-
     tab0 = _cell_tables(
         cfg, k_cells, kw, bids, jnp.asarray(0), n_auctions[0],
         cfg.max_clicks_per_cell, dtype, cost_moments=cost_moments,
@@ -773,9 +793,11 @@ def simulate_day(
 
     # ---- phase 2: the budget gate ----
     if agg:
-        def resolve0(j, B, nk):
+        def resolve0(j, B, nk, hit):
+            loc, scale, y0 = _hot_params(hit)
             return _resolve_cell(
-                0, j, _lite_col(lite0, j), B, nk, cfg.max_clicks_per_cell
+                0, j, _hot_lite_col(lite0, hit), loc, scale, y0, B, nk,
+                cfg.max_clicks_per_cell,
             )
 
         (b, broken), (acc0, spend0, sim0) = gate_agg(
@@ -791,10 +813,14 @@ def simulate_day(
             if cfg.gate_scope == "global":
                 lite1f = lite1.reshape(L_lite, t1 * K)
 
-                def resolve1(j, B, nk):
+                def resolve1(j, B, nk, hit):
+                    # hit is one-hot over the flattened (t1*K,) cell
+                    # range; per-keyword params fold it to (K,)
+                    hit_k = jnp.any(hit.reshape(t1, K), axis=0)
+                    loc, scale, y0 = _hot_params(hit_k)
                     return _resolve_cell(
-                        j // K + 1, j % K, _lite_col(lite1f, j), B, nk,
-                        cfg.max_clicks_rest,
+                        j // K + 1, j % K, _hot_lite_col(lite1f, hit),
+                        loc, scale, y0, B, nk, cfg.max_clicks_rest,
                     )
 
                 (b, broken), (acc1f, spend1f, sim1f) = gate_agg(
@@ -804,14 +830,63 @@ def simulate_day(
                 acc1 = acc1f.reshape(t1, K)
                 spend1 = spend1f.reshape(t1, K)
                 sim1 = sim1f.reshape(t1, K)
+            elif cfg.gate_scope == "chunk":
+                # scan over groups of ct sub-timesteps, each gated in one
+                # flattened (ct*K,) call: fewer sequential gates than
+                # per_t (whose ~2-sweep floor pays T dispatch chains) and
+                # shorter worst-env Jacobi chains than global. Tier-1 is
+                # zero-cell-padded to a multiple of ct — padding cells
+                # have s_full=0/n=0, classify as full (B >= 0) or lite
+                # (B < 0) with zero spend either way, so the budget
+                # thread and break flags are unchanged.
+                ct = min(cfg.gate_chunk_t, t1)
+                G = -(-t1 // ct)
+                pad = G * ct - t1
+                sf1, nc1, lt1 = cpre1, ncl1, lite1
+                if pad:
+                    sf1 = jnp.concatenate(
+                        [sf1, jnp.zeros((pad, K), sf1.dtype)])
+                    nc1 = jnp.concatenate(
+                        [nc1, jnp.zeros((pad, K), nc1.dtype)])
+                    lt1 = jnp.concatenate(
+                        [lt1, jnp.zeros((pad, L_lite, K), lt1.dtype)])
+                sf1 = sf1.reshape(G, ct * K)
+                nc1 = nc1.reshape(G, ct * K)
+                lt1 = lt1.reshape(G, ct, L_lite, K).transpose(
+                    0, 2, 1, 3).reshape(G, L_lite, ct * K)
+
+                def gate_chunk(carry, xs):
+                    sf_g, lt_g, nc_g, g = xs
+
+                    def resolve(j, B, nk, hit):
+                        hit_k = jnp.any(hit.reshape(ct, K), axis=0)
+                        loc, scale, y0 = _hot_params(hit_k)
+                        return _resolve_cell(
+                            1 + g * ct + j // K, j % K,
+                            _hot_lite_col(lt_g, hit), loc, scale, y0,
+                            B, nk, cfg.max_clicks_rest,
+                        )
+
+                    return gate_agg(
+                        carry[0], carry[1], sf_g, lt_g, nc_g, resolve
+                    )
+
+                (b, broken), (acc1f, spend1f, sim1f) = lax.scan(
+                    gate_chunk, (b, broken),
+                    (sf1, lt1, nc1, jnp.arange(G)),
+                )
+                acc1 = acc1f.reshape(G * ct, K)[:t1]
+                spend1 = spend1f.reshape(G * ct, K)[:t1]
+                sim1 = sim1f.reshape(G * ct, K)[:t1]
             else:
                 def gate_body(carry, xs):
                     sfull_t, lite_t, ncl_t, t = xs
 
-                    def resolve(j, B, nk):
+                    def resolve(j, B, nk, hit):
+                        loc, scale, y0 = _hot_params(hit)
                         return _resolve_cell(
-                            t, j, _lite_col(lite_t, j), B, nk,
-                            cfg.max_clicks_rest,
+                            t, j, _hot_lite_col(lite_t, hit), loc, scale,
+                            y0, B, nk, cfg.max_clicks_rest,
                         )
 
                     return gate_agg(

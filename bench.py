@@ -63,8 +63,9 @@ def bench_cfg(max_volume: int = 576):
         lane_bits=int(os.environ.get("BENCH_LANE_BITS", "16")),
         binomial_sampler=os.environ.get("BENCH_BINOM", "inversion"),
         # one whole-day lazy gate beats 24 per-sub-timestep gates here
-        gate_scope=os.environ.get("BENCH_GATE_SCOPE", "global"),
-        agg_lite_lanes=int(os.environ.get("BENCH_LITE", "4")),
+        gate_scope=os.environ.get("BENCH_GATE_SCOPE", "chunk"),
+        agg_lite_lanes=int(os.environ.get("BENCH_LITE", "1")),
+        gate_chunk_t=int(os.environ.get("BENCH_CHUNK_T", "4")),
     )
 
 

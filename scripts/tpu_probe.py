@@ -52,8 +52,9 @@ def time_step(tag):
         cost_sampling=os.environ.get("BENCH_COST", "agg"),
         lane_bits=int(os.environ.get("BENCH_LANE_BITS", "16")),
         binomial_sampler=os.environ.get("BENCH_BINOM", "inversion"),
-        gate_scope=os.environ.get("BENCH_GATE_SCOPE", "global"),
-        agg_lite_lanes=int(os.environ.get("BENCH_LITE", "4")),
+        gate_scope=os.environ.get("BENCH_GATE_SCOPE", "chunk"),
+        agg_lite_lanes=int(os.environ.get("BENCH_LITE", "1")),
+        gate_chunk_t=int(os.environ.get("BENCH_CHUNK_T", "4")),
     )
     table = simple_experiment_table(128, 0.8)
     venv = VectorBiddingEnv(cfg, NUM_ENVS, table=table)

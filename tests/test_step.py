@@ -686,8 +686,11 @@ def test_lazy_agg_gate_fuzz_vs_scan_agg_gate():
     N, m = 24, 4
     rng = np.random.default_rng(11)
 
-    def _resolve(table, j, B, nk):
-        col = table[j]
+    def _resolve(table, j, B, nk, hit):
+        # one-hot column read, mirroring the production resolver's
+        # gather-free contract (hit may be all-false: garbage out,
+        # discarded by the gate through the same mask)
+        col = jnp.sum(jnp.where(hit[:, None], table, 0), axis=0)
         prefix = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), jnp.cumsum(col)]
         )
