@@ -123,13 +123,30 @@ def binomial_inv(
     "16-bit lane uniforms"). Stream-incompatible with ``binomial`` (one
     uniform vs rejection draws); selected by ``EnvConfig.binomial_sampler``.
     """
+    ladder = binomial_cdf(n, p, nmax, shape=shape)
+    return binomial_inv_from_cdf(key, ladder, bits=bits)
+
+
+def binomial_cdf(n: Array, p: Array, nmax: int, shape=None):
+    """Precompute ``binomial_inv``'s CDF ladder for fixed (n, p).
+
+    Returns an opaque ladder tuple ``(cdf, flip, ni)`` consumed by
+    ``binomial_inv_from_cdf``. Splitting the walk this way lets a caller
+    with a (n, p) that repeats across draw sites — e.g. the per-day
+    tier-1 auction binomial, whose ``n = vol//T`` and win probability
+    are identical for all T-1 sub-timesteps — build the ladder ONCE and
+    pay only the one-uniform compare per site: the ladder (the pow /
+    cumprod / cumsum recurrence over nmax+1 levels) dominates the
+    sampler's cost. ``binomial_inv(key, n, p, ...)`` ==
+    ``binomial_inv_from_cdf(key, binomial_cdf(n, p, ...))`` bit-for-bit
+    by construction.
+    """
     n = jnp.asarray(n, jnp.float32)
     p = jnp.clip(jnp.asarray(p, jnp.float32), 0.0, 1.0)
     if shape is None:
         shape = jnp.broadcast_shapes(n.shape, p.shape)
     n = jnp.broadcast_to(n, shape)
     p = jnp.broadcast_to(p, shape)
-    u = uniform16(key, shape) if bits == 16 else jax.random.uniform(key, shape)
 
     flip = p > 0.5
     q = jnp.where(flip, 1.0 - p, p)  # q <= 0.5
@@ -142,8 +159,22 @@ def binomial_inv(
     pmf0 = (1.0 - q) ** n
     pmf = jnp.concatenate([pmf0[None], pmf0[None] * jnp.cumprod(f, axis=0)])
     cdf = jnp.cumsum(pmf, axis=0)  # cdf[j] = P(X <= j), j = 0..nmax
-    cnt = jnp.sum((cdf[:nmax] < u[None]).astype(jnp.int32), axis=0, dtype=jnp.int32)
     ni = jnp.round(n).astype(jnp.int32)
+    return cdf, flip, ni
+
+
+def binomial_inv_from_cdf(key: Array, ladder, bits: int = 32) -> Array:
+    """One inverse-CDF draw against a ``binomial_cdf`` ladder.
+
+    Consumes exactly the same uniform (same key, same bit width) and
+    performs the same compare-count as ``binomial_inv``, so hoisting the
+    ladder does not change the sample stream.
+    """
+    cdf, flip, ni = ladder
+    nmax = cdf.shape[0] - 1
+    shape = cdf.shape[1:]
+    u = uniform16(key, shape) if bits == 16 else jax.random.uniform(key, shape)
+    cnt = jnp.sum((cdf[:nmax] < u[None]).astype(jnp.int32), axis=0, dtype=jnp.int32)
     cnt = jnp.clip(cnt, 0, ni)
     return jnp.where(flip, ni - cnt, cnt).astype(jnp.int32)
 

@@ -506,7 +506,7 @@ def _gate_keywords_scan_agg(
 
 def _cell_tables(
     cfg: EnvConfig, k_cells, kw, bids, t, n_auc_t, m: int, dtype,
-    cost_moments=None, lite_lanes: int = 0,
+    cost_moments=None, lite_lanes: int = 0, imp_ladder=None,
 ):
     """Sample one sub-timestep's draw tables, prefix-summed for gating.
 
@@ -538,8 +538,17 @@ def _cell_tables(
         # lane-resolution site split(k_cost)[1] (consumed in the gate's
         # resolve_fn for budget-partial cells only)
         k_imp, k_cost = jax.random.split(k_auc)
-        p_win = implicit_single_win_prob(bids, kw.bid_loc, kw.bid_scale)
-        impressions = bfn(k_imp, n_auc_t, p_win)
+        if imp_ladder is not None and cfg.binomial_sampler == "inversion":
+            # tier-1 hoist: n_auc_t = vol//T and the win probability are
+            # sub-timestep-invariant, so the caller built the CDF ladder
+            # once for the whole day; only the one-uniform compare runs
+            # here (same key slot and bit width — stream-identical).
+            impressions = dist.binomial_inv_from_cdf(
+                k_imp, imp_ladder, bits=cfg.lane_bits
+            )
+        else:
+            p_win = implicit_single_win_prob(bids, kw.bid_loc, kw.bid_scale)
+            impressions = bfn(k_imp, n_auc_t, p_win)
         n_clicks = bfn(k_click, impressions, kw.bctr)
         k_sfull, k_lanes = jax.random.split(k_cost)
         mu_c, sig_c, cmax_c = cost_moments
@@ -781,11 +790,26 @@ def simulate_day(
         axes += (pax,) if agg else ()
         axes += () if counts else (pax,)
         axes += () if rev_sum else (pax,)
+        imp_ladder1 = None
+        if agg and cfg.binomial_sampler == "inversion":
+            # every tier-1 sub-timestep runs exactly vol//T auctions with
+            # the same day-constant win probability: build the auction
+            # binomial's CDF ladder once (dist.binomial_cdf) instead of
+            # 23x inside the vmap — the ladder recurrence is the bulk of
+            # the sampler's cost. Closure-captured, so vmap broadcasts it.
+            from adcraft_tpu.auction import implicit_single_win_prob
+
+            imp_ladder1 = dist.binomial_cdf(
+                n_auctions[1],
+                implicit_single_win_prob(bids, kw.bid_loc, kw.bid_scale),
+                cfg.max_clicks_rest,
+            )
         tabs1 = jax.vmap(
             lambda t, n: _cell_tables(
                 cfg, k_cells, kw, bids, t, n, cfg.max_clicks_rest, dtype,
                 cost_moments=cost_moments,
                 lite_lanes=L_lite if agg else 0,
+                imp_ladder=imp_ladder1,
             ),
             out_axes=axes,
         )(jnp.arange(1, T), n_auctions[1:])
