@@ -251,7 +251,7 @@ def nth_price_auction_device(
                     itself for n=1); valid where ``won`` (0 elsewhere).
     ``costs[won]`` / ``placements[won]`` reproduce the reference's lists
     (order preserved; cross-checked against the numpy/C++ oracles in
-    tests/test_auction.py).
+    tests/test_parity.py).
     """
     if n < 1 or num_winners < 1:
         raise ValueError("n and num_winners must be >= 1")

@@ -183,17 +183,31 @@ class EnvConfig:
     #           (synthetic_kw_helpers.py:104-113) and is the
     #           injected-draw parity path;
     #   "agg"   one aggregate full-cell spend draw per cell — a normal
-    #           with the EXACT discrete per-click cost moments (cent-grid
-    #           Laplace-CDF pmf, distributions.single_cost_cent_moments),
-    #           rounded to cents and clipped to the support. The lazy
-    #           budget gate classifies cells full/zero against the
+    #           with the EXACT per-click cost moments (cent-grid pmfs:
+    #           distributions.single_cost_cent_moments for implicit
+    #           SINGLE_ABS_CENTS, generic_cost_cent_moments for explicit
+    #           PYTHON; exact clipped-normal moments on a 0.1-cent grid,
+    #           cost_create_deci_moments, for explicit RUST_QUIRK),
+    #           rounded to the grid and clipped to the support. The lazy
+    #           budget gate classifies cells full/lite against the
     #           aggregate and lane-materializes ONLY the budget-partial
     #           cell(s), so the (M, K) cost tables (~83% of all PRNG
     #           words at bench shape) vanish. CLT-approximate at the
     #           full/partial boundary; distribution-validated in
-    #           tests/test_step.py, deviations in PARITY.md. Implicit
-    #           SINGLE_ABS_CENTS keywords only. Used by bench.py.
+    #           tests/test_step.py, deviations in PARITY.md. Not
+    #           available for the binomial-pool competitor model (no
+    #           closed-form moments of the pool max). Used by bench.py.
     cost_sampling: str = "lanes"
+
+    # Deep resolutions per lazy-agg gate sweep: each while-loop sweep
+    # lane-materializes the first W budget-partial ("deep") cells —
+    # selected by rank in the bad mask (elementwise cumsum, no top_k) and
+    # resolved against budgets recomputed from the sweep's evolving
+    # spends. Under vmap the batch pays the WORST env's sweep count, so W
+    # divides the lockstep chain length of budget-decay tails by ~W at
+    # the cost of W lane resolutions per sweep. Bit-identical for any W
+    # (tests cross-check).
+    gate_resolve_w: int = 1
 
     # Cent-grid size for the exact per-click cost moments under
     # cost_sampling="agg": moments are exact for bids <= agg_cost_grid/100
@@ -263,14 +277,14 @@ class EnvConfig:
             raise ValueError("rev_sampling must be 'lanes' or 'sum'")
         if self.cost_sampling not in ("lanes", "agg"):
             raise ValueError("cost_sampling must be 'lanes' or 'agg'")
-        if self.cost_sampling == "agg" and not (
+        if self.cost_sampling == "agg" and (
             self.kind is KeywordKind.IMPLICIT
-            and self.competitor_model is CompetitorModel.SINGLE_ABS_CENTS
+            and self.competitor_model is not CompetitorModel.SINGLE_ABS_CENTS
         ):
             raise ValueError(
-                "cost_sampling='agg' requires implicit SINGLE_ABS_CENTS "
-                "keywords (the cent-quantized cost model with closed-form "
-                "discrete moments)"
+                "cost_sampling='agg' requires implicit SINGLE_ABS_CENTS or "
+                "explicit keywords (cost models with closed-form per-click "
+                "moments; the binomial-pool competitor max has none)"
             )
         if self.agg_cost_grid < 2:
             raise ValueError("agg_cost_grid must be >= 2")
@@ -282,6 +296,8 @@ class EnvConfig:
             raise ValueError("gate_scope='chunk' requires cost_sampling='agg'")
         if self.gate_chunk_t < 1:
             raise ValueError("gate_chunk_t must be >= 1")
+        if self.gate_resolve_w < 1:
+            raise ValueError("gate_resolve_w must be >= 1")
         if self.lane_bits not in (16, 32):
             raise ValueError("lane_bits must be 16 or 32")
         if self.binomial_sampler not in ("exact", "inversion"):

@@ -332,6 +332,108 @@ def censored_normal_moments(mean: Array, std: Array, low) -> tuple:
     return m1, jnp.sqrt(var)
 
 
+def clipped_normal_moments(mean: Array, std: Array, low, high) -> tuple:
+    """Exact mean/std of ``clip(N(mean, std), low, high)`` (two-sided
+    censored normal).
+
+    With a = (low-mean)/std, b = (high-mean)/std, Fa/Fb = Phi(a)/Phi(b),
+    fa/fb = phi(a)/phi(b):
+      E[Y]   = low*Fa + high*(1-Fb) + mean*(Fb-Fa) + std*(fa-fb)
+      E[Y^2] = low^2*Fa + high^2*(1-Fb) + (mean^2+std^2)*(Fb-Fa)
+               + 2*mean*std*(fa-fb) + std^2*(a*fa - b*fb)
+    (reduces to ``censored_normal_moments`` as high -> inf).
+    Degenerate std == 0 returns (clip(mean, low, high), 0).
+    """
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    safe = jnp.maximum(std, 1e-20)
+    a = (low - mean) / safe
+    b = (high - mean) / safe
+    fa = jax.scipy.stats.norm.cdf(a)
+    fb = jax.scipy.stats.norm.cdf(b)
+    pa = jax.scipy.stats.norm.pdf(a)
+    pb = jax.scipy.stats.norm.pdf(b)
+    mid = fb - fa
+    m1 = low * fa + high * (1.0 - fb) + mean * mid + safe * (pa - pb)
+    m2 = (
+        low * low * fa
+        + high * high * (1.0 - fb)
+        + (mean * mean + safe * safe) * mid
+        + 2.0 * mean * safe * (pa - pb)
+        + safe * safe * (a * pa - b * pb)
+    )
+    var = jnp.maximum(m2 - m1 * m1, 0.0)
+    deg = std <= 0.0
+    m1 = jnp.where(deg, jnp.clip(mean, low, high), m1)
+    var = jnp.where(deg, 0.0, var)
+    return m1, jnp.sqrt(var)
+
+
+def generic_cost_cent_moments(bid: Array, grid: int):
+    """Exact per-click cost moments (in CENTS) for the PYTHON explicit model.
+
+    ``generic_cost`` (synthetic_kw_helpers.py:56-63) draws
+    ``X = 100 * round(clip(sqrt(b)/4 + b/2 + N(0, 1e-10+sqrt(b)/6), 0, b), 2)``
+    — discrete on the cent grid {0, 1, .., round(100 b)}. The pmf is
+    normal-CDF differences over the rounding cells capped at b, and the
+    moments follow by the same Abel summation over the tail CDF as
+    ``single_cost_cent_moments`` (this is that function's explicit-keyword
+    counterpart; unconditional — explicit costs are not conditioned on a
+    win event). Exact whenever ``bid <= grid/100``; enlarge
+    ``EnvConfig.agg_cost_grid`` for larger bids.
+
+    Returns (mean_cents, std_cents, cmax_cents); ``cmax_cents =
+    round(100 b)`` (the clip ceiling b itself is reachable and rounds onto
+    the grid).
+    """
+    bid = jnp.asarray(bid, jnp.float32)
+    s = jnp.sqrt(bid)
+    mu_r = s / 4.0 + bid / 2.0
+    sig_r = 1e-10 + s / 6.0
+    shape = bid.shape
+    i = jnp.arange(grid - 1, dtype=jnp.float32)
+    ii = i.reshape((grid - 1,) + (1,) * len(shape))
+    # G_i = P(X <= i cents) = Phi((min((i+.5)/100, b) - mu)/sigma); edges
+    # at/above b saturate to 1 and contribute zero tail mass
+    e = jnp.minimum((ii + 0.5) / 100.0, bid)
+    at_cap = (ii + 0.5) / 100.0 >= bid
+    g = jax.scipy.stats.norm.cdf((e - mu_r) / sig_r)
+    g = jnp.where(at_cap, 1.0, g)
+    tail = jnp.maximum(1.0 - g, 0.0)
+    mu = jnp.sum(tail, axis=0)
+    m2 = jnp.sum((2.0 * ii + 1.0) * tail, axis=0)
+    var = jnp.maximum(m2 - mu * mu, 0.0)
+    cmax = jnp.round(bid * 100.0)
+    return mu, jnp.sqrt(var), cmax
+
+
+def cost_create_deci_moments(bid: Array):
+    """Per-click cost moments in DECICENTS for the RUST_QUIRK explicit model.
+
+    ``cost_create`` (src/lib.rs:54-67) draws the CONTINUOUS
+    ``clamp(sqrt(b)/4 + 2.2 + N(0, 1e-10+sqrt(b)/6), 0, 4.4)``. The agg
+    path gates in exact integers, so this model's aggregate support is
+    the 0.1-cent grid: exact clipped-normal moments scaled by 1000 plus
+    the per-click quantization variance 1/12 (PARITY.md "Aggregate cost
+    sampling" documents the 0.1-cent quantization as an agg-only
+    deviation — the lanes path keeps continuous costs).
+
+    Returns (mean_deci, std_deci, cmax_deci = 4400).
+    """
+    bid = jnp.asarray(bid, jnp.float32)
+    s = jnp.sqrt(bid)
+    m1, s1 = clipped_normal_moments(
+        s / 4.0 + _RUST_COST_PLACEHOLDER / 2.0,
+        1e-10 + s / 6.0,
+        0.0,
+        _RUST_COST_PLACEHOLDER,
+    )
+    mu = 1000.0 * m1
+    sig = jnp.sqrt((1000.0 * s1) ** 2 + (1.0 / 12.0))
+    cmax = jnp.full_like(mu, _RUST_COST_PLACEHOLDER * 1000.0)
+    return mu, sig, cmax
+
+
 def rev_sum_cents(
     key: Array, nconv: Array, rev_mean: Array, rev_std: Array, cents_dtype
 ) -> Array:

@@ -72,28 +72,55 @@ def make_multi_trainers(
     ppo_cfgs: Optional[List] = None,
     table=None,
     seed: int = 0,
+    algo_cfgs: Optional[List] = None,
 ) -> Tuple[List, List]:
-    """Build N independent PPO learners over copies of one env config.
+    """Build N independent learners (mixed algorithms) over one env config.
 
     The TPU-native analogue of the reference's per-policy algo builds
-    over the shared multi-agent env (multi_agent/train.py:79-86): its
-    "multi-agent" env is N non-interacting copies, so N vectorized
-    learners with distinct seeds/hyper-params reproduce the setting with
-    the env batch living on device. ``ppo_cfgs`` optionally gives each
-    policy its own PPOConfig (the reference trains heterogeneous
-    PPO/SAC configs side by side).
+    over the shared multi-agent env (multi_agent/train.py:16-96): its
+    ``config_list`` mixes arbitrary RLlib algo configs per policy
+    (PPO/A2C/TD3 in the shipped experiments); here ``algo_cfgs`` mixes
+    the native trainer families, which all share the ``init(key)`` /
+    ``train(state, n)`` surface. Each entry is one of:
+
+      * a ``PPOConfig`` / ``A2CConfig`` / ``TD3Config`` instance
+        (dispatched by type),
+      * an algo name string ``"ppo" | "a2c" | "td3"`` (family defaults),
+      * or ``None`` (PPO defaults).
+
+    ``ppo_cfgs`` is the pre-round-4 PPO-only spelling, kept as an alias.
     """
     import jax
 
+    from adcraft_tpu.agents.a2c import A2CConfig, A2CTrainer
     from adcraft_tpu.agents.ppo import PPOConfig, PPOTrainer
+    from adcraft_tpu.agents.td3 import TD3Config, TD3Trainer
 
-    if ppo_cfgs is None:
-        ppo_cfgs = [PPOConfig() for _ in range(num_policies)]
-    if len(ppo_cfgs) != num_policies:
-        raise ValueError("need one ppo config per policy")
-    trainers = [
-        PPOTrainer(env_cfg, num_envs, ppo_cfg=c, table=table) for c in ppo_cfgs
-    ]
+    if algo_cfgs is None:
+        algo_cfgs = ppo_cfgs
+    if algo_cfgs is None:
+        algo_cfgs = [PPOConfig() for _ in range(num_policies)]
+    if len(algo_cfgs) != num_policies:
+        raise ValueError("need one algo config per policy")
+
+    def build(spec):
+        if isinstance(spec, str):
+            spec = {
+                "ppo": PPOConfig,
+                "a2c": A2CConfig,
+                "td3": TD3Config,
+            }[spec.lower()]()
+        if spec is None or isinstance(spec, PPOConfig):
+            return PPOTrainer(
+                env_cfg, num_envs, ppo_cfg=spec or PPOConfig(), table=table
+            )
+        if isinstance(spec, A2CConfig):
+            return A2CTrainer(env_cfg, num_envs, a2c_cfg=spec, table=table)
+        if isinstance(spec, TD3Config):
+            return TD3Trainer(env_cfg, num_envs, cfg=spec, table=table)
+        raise TypeError(f"unknown algo config {type(spec).__name__}")
+
+    trainers = [build(c) for c in algo_cfgs]
     states = [
         t.init(jax.random.fold_in(jax.random.PRNGKey(seed), i))
         for i, t in enumerate(trainers)

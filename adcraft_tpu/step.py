@@ -45,10 +45,18 @@ from jax import lax
 
 from adcraft_tpu import distributions as dist
 from adcraft_tpu.auction import cell_binomial_fn, run_cell_auctions
-from adcraft_tpu.config import EnvConfig
+from adcraft_tpu.config import CostModel, EnvConfig, KeywordKind
 from adcraft_tpu.keywords import KeywordState
 
 Array = jax.Array
+
+# Profiling hook (scripts/gate_stats.py): when set to a callable, every
+# lazy-agg gate call invokes it with the final sweep-counter array `it`
+# (per-env under vmap — batched while_loop freezes each element's carry
+# once its own cond is false, so `it` is each env's true convergence
+# count while the LOCKSTEP cost is max(it) over the batch). None (the
+# default) adds no ops.
+_GATE_STATS_HOOK = None
 
 
 class DayOutcomes(NamedTuple):
@@ -327,7 +335,7 @@ def _gate_keywords_lazy_agg(
     n_clicks: Array,
     resolve_fn,
     max_iter: int,
-    speculate: int = 1,
+    resolve_w: int = 1,
 ) -> Tuple[Tuple[Array, Array], Tuple[Array, Array, Array]]:
     """Lazy budget gate over AGGREGATE per-cell spend draws.
 
@@ -360,6 +368,25 @@ def _gate_keywords_lazy_agg(
     37k env-steps/s/chip regression from one such extra O(w) term;
     PLAN.md "Measured perf (round 3)").
 
+    ``resolve_w`` deep-resolves up to W bad cells PER SWEEP instead of
+    one, cutting the worst-env sweep count to ~ceil(#deep cells / W).
+    The w-th bad cell is selected by its RANK in the bad mask
+    (``cumsum(bad) == w`` — plain elementwise math, no top_k) and
+    resolved against budgets recomputed from the sweep's evolving spends
+    (cheap O(N) cumsum per w, unrolled at trace time, no inner scan —
+    both were the measured cost of the reverted round-3 "speculative
+    multi-resolution"). Later-rank resolutions may still be provisional
+    (an earlier cell's class can flip next sweep); exactness is
+    preserved because a resolution is only trusted while its recorded
+    start budget matches (``bres == B``), and the loop exits only at a
+    genuine fixed point of the forward-substitution equations.
+
+    Before the while loop one resolve-free classification pass runs
+    UNROLLED (the "warm init"): with zero initial spends every cell sees
+    B = budget0, so the pass is pure bulk math that XLA fuses into the
+    sampling phase — gates whose budget never binds then converge after
+    a single in-loop confirmation sweep.
+
     TPU shape discipline (measured; PLAN.md "Measured perf (round 3)"):
     every per-sweep op is elementwise, a reduction, or a scalar-indexed
     slice/take. In particular the lite resolution uses the prefix-mask
@@ -367,26 +394,25 @@ def _gate_keywords_lazy_agg(
     per-column gather (a (L+1, N) take_along_axis in the while body
     lowered to a ~200 ms serialized gather at 4096 envs — 45x step
     regression), and the deep resolution writes back through a
-    broadcast ``karange == j`` select, not a scatter. ``speculate`` is
-    accepted for signature stability but speculative multi-resolution
-    was measured a TPU regression (inner scan + top_k per sweep) and is
-    not performed. Sweep scheme and epilogue identical to
-    ``_gate_keywords_lazy``; bit-identical to the sequential
-    ``_gate_keywords_scan_agg`` cross-validation gate (tests).
+    broadcast one-hot select, not a scatter. Sweep scheme and epilogue
+    identical to ``_gate_keywords_lazy``; bit-identical to the
+    sequential ``_gate_keywords_scan_agg`` cross-validation gate
+    (tests/test_step.py cross-checks all scopes and resolve widths).
     """
-    del speculate  # measured TPU regression; kept for call compatibility
     n = s_full.shape[0]
     L = lite_costs.shape[0]
     karange = jnp.arange(n)
     lane_l = jnp.arange(L)
     zero = jnp.zeros((), s_full.dtype)
+    W = max(1, resolve_w)
     # (L, N) lite prefix — B-independent, computed once per gate call
     lite_cum = jnp.cumsum(lite_costs, axis=0)
     lite_end = lite_cum[L - 1]
     lite_decided_static = n_clicks <= L  # all relevant lanes are in the table
 
-    def body(carry):
-        spend, p, fixed, bres, _done, it = carry
+    def classify(spend, p, fixed, bres):
+        """One bulk class pass: returns updated (spend, p), the bad mask
+        and the start budgets B the classes were evaluated against."""
         excl = jnp.concatenate([zero[None], jnp.cumsum(spend)[:-1]])
         B = budget0 - excl
         # class order matters: scan-agg checks FULL first, so a cached
@@ -411,23 +437,35 @@ def _gate_keywords_lazy_agg(
             okfull, n_clicks, jnp.where(okres, p, jnp.where(oklite, p_lite, p))
         )
         bad = ~(okres | okfull | oklite)
+        return spend2, p2, bad
+
+    def body(carry):
+        spend, p, fixed, bres, _done, it = carry
+        spend2, p2, bad = classify(spend, p, fixed, bres)
         j = jnp.min(jnp.where(bad, karange, n))
-        # deep-resolve the first bad cell against its start budget.
+        # deep-resolve the first W bad cells (by rank in the bad mask)
+        # against budgets recomputed from the sweep's evolving spends.
         # All cell-indexed reads go through the one-hot mask (never
         # jnp.take / dynamic_slice with a traced index: under vmap those
         # lower to per-env gathers, measured ~20-25 ms per sweep at 4096
-        # envs — PLAN.md "Measured perf (round 3)"). When no cell is bad
-        # (j == n) the masks are all-false, the resolver runs on zero
-        # inputs and its output is discarded by the same masks.
-        hit = karange == j
-        hot = hit.astype(B.dtype)
-        Bj = jnp.sum(B * hot)
-        nkj = jnp.sum(n_clicks * hit.astype(n_clicks.dtype))
-        pj, sj = resolve_fn(j, Bj, nkj, hit)
-        spend2 = jnp.where(hit, sj, spend2)
-        p2 = jnp.where(hit, pj, p2)
-        fixed2 = fixed | hit
-        bres2 = jnp.where(hit, Bj, bres)
+        # envs — PLAN.md "Measured perf (round 3)"). When fewer than w
+        # cells are bad the masks are all-false, the resolver runs on
+        # zero inputs and its output is discarded by the same masks.
+        rank = jnp.cumsum(bad.astype(jnp.int32))
+        fixed2, bres2 = fixed, bres
+        for w in range(1, W + 1):
+            hit = bad & (rank == w)
+            excl = jnp.concatenate([zero[None], jnp.cumsum(spend2)[:-1]])
+            B = budget0 - excl
+            hot = hit.astype(B.dtype)
+            Bj = jnp.sum(B * hot)
+            nkj = jnp.sum(n_clicks * hit.astype(n_clicks.dtype))
+            jw = j if w == 1 else jnp.min(jnp.where(hit, karange, n))
+            pj, sj = resolve_fn(jw, Bj, nkj, hit)
+            spend2 = jnp.where(hit, sj, spend2)
+            p2 = jnp.where(hit, pj, p2)
+            fixed2 = fixed2 | hit
+            bres2 = jnp.where(hit, Bj, bres2)
 
         changed = (
             jnp.any(spend2 != spend)
@@ -445,18 +483,20 @@ def _gate_keywords_lazy_agg(
         _s, _p, _f, _b, done, it = carry
         return ~done & (it < max_iter)
 
+    # warm init: one resolve-free class pass outside the loop (all-B =
+    # budget0; pure bulk math, fused into the sampling phase by XLA)
+    f0 = jnp.zeros((n,), bool)
+    br0 = jnp.zeros((n,), s_full.dtype)
+    spend1, p1, _bad1 = classify(
+        jnp.zeros((n,), s_full.dtype), jnp.zeros((n,), jnp.int32), f0, br0
+    )
     spend, p, _f, _b, _done, _it = lax.while_loop(
         cond,
         body,
-        (
-            jnp.zeros((n,), s_full.dtype),
-            jnp.zeros((n,), jnp.int32),
-            jnp.zeros((n,), bool),
-            jnp.zeros((n,), s_full.dtype),
-            jnp.asarray(broken0),
-            jnp.asarray(0, jnp.int32),
-        ),
+        (spend1, p1, f0, br0, jnp.asarray(broken0), jnp.asarray(1, jnp.int32)),
     )
+    if _GATE_STATS_HOOK is not None:
+        _GATE_STATS_HOOK(_it)
     # identical epilogue to the lazy/Jacobi gates
     nb = budget0 - jnp.cumsum(spend)
     alive = jnp.cumprod((nb > 0).astype(jnp.int32))
@@ -481,10 +521,11 @@ def _gate_keywords_scan_agg(
     Evaluates the same per-cell rule as ``_gate_keywords_lazy_agg`` —
     aggregate draw when it fits, lane resolution otherwise — one cell at
     a time (resolving EVERY cell, so it re-pays the lane cost; test use
-    only). The lazy gate's zero class (first_cost > B) needs no special
-    case here: ``resolve_fn``'s lane column starts with the SAME
-    first-cost value, so resolution returns (0, 0) for exactly those
-    cells. Bit-identical to the lazy-agg gate by construction.
+    only). The lazy gate's lite class needs no special case here:
+    ``resolve_fn``'s lane column starts with the SAME draws as the lite
+    table (both come from the dedicated lite key), so full lane
+    resolution agrees wherever acceptance is decided within the first L
+    lanes. Bit-identical to the lazy-agg gate by construction.
     """
     n = s_full.shape[0]
     karange = jnp.arange(n)
@@ -507,6 +548,7 @@ def _gate_keywords_scan_agg(
 def _cell_tables(
     cfg: EnvConfig, k_cells, kw, bids, t, n_auc_t, m: int, dtype,
     cost_moments=None, lite_lanes: int = 0, imp_ladder=None,
+    agg_scale: float = 100.0,
 ):
     """Sample one sub-timestep's draw tables, prefix-summed for gating.
 
@@ -532,11 +574,13 @@ def _cell_tables(
         from adcraft_tpu.auction import implicit_single_win_prob
 
         cents_dtype = jnp.int64 if cfg.use_x64 else jnp.int32
+        explicit = cfg.kind is KeywordKind.EXPLICIT
         bfn = cell_binomial_fn(cfg, m)
-        # same key slots as implicit_single_auction (k_imp for the win
-        # binomial); k_cost's aggregate site is split(k_cost)[0], its
-        # lane-resolution site split(k_cost)[1] (consumed in the gate's
-        # resolve_fn for budget-partial cells only)
+        # same key slots as implicit_single_auction / explicit_auction
+        # (k_imp for the win binomial); k_cost's aggregate site is
+        # split(k_cost)[0], its lane-resolution site split(k_cost)[1]
+        # (consumed in the gate's resolve_fn for budget-partial cells
+        # only)
         k_imp, k_cost = jax.random.split(k_auc)
         if imp_ladder is not None and cfg.binomial_sampler == "inversion":
             # tier-1 hoist: n_auc_t = vol//T and the win probability are
@@ -547,9 +591,23 @@ def _cell_tables(
                 k_imp, imp_ladder, bits=cfg.lane_bits
             )
         else:
-            p_win = implicit_single_win_prob(bids, kw.bid_loc, kw.bid_scale)
+            if explicit:
+                p_win = dist.threshold_sigmoid(
+                    bids, kw.imp_thresh, kw.imp_intercept, kw.imp_slope
+                )
+            else:
+                p_win = implicit_single_win_prob(bids, kw.bid_loc, kw.bid_scale)
             impressions = bfn(k_imp, n_auc_t, p_win)
-        n_clicks = bfn(k_click, impressions, kw.bctr)
+        if explicit:
+            # phantom-click quirk (auction.explicit_auction): a
+            # zero-impression cell still flips ONE zero-cost candidate,
+            # so its clicks can convert but never spend
+            phantom = impressions == 0
+            candidates = jnp.maximum(impressions, 1)
+        else:
+            phantom = None
+            candidates = impressions
+        n_clicks = bfn(k_click, candidates, kw.bctr)
         k_sfull, k_lanes = jax.random.split(k_cost)
         mu_c, sig_c, cmax_c = cost_moments
         s_full = dist.agg_cost_cents(
@@ -562,12 +620,23 @@ def _cell_tables(
         # lane column whose first L entries are exactly these draws
         lite = lite_lanes
         k_lite = jax.random.split(k_lanes)[0]
-        y0 = bids - 0.005
-        tr0 = dist.truncated_laplace(
-            k_lite, kw.bid_loc[None, :], kw.bid_scale[None, :],
-            -y0[None, :], y0[None, :], (lite, K), bits=cfg.lane_bits,
-        )
-        lite_costs = jnp.round(jnp.abs(tr0) * 100.0).astype(cents_dtype)
+        if explicit:
+            cost_fn = (
+                dist.cost_create
+                if cfg.cost_model is CostModel.RUST_QUIRK
+                else dist.generic_cost
+            )
+            d0 = cost_fn(k_lite, bids[None, :], (lite, K))
+            lite_costs = jnp.round(d0 * agg_scale).astype(cents_dtype)
+            s_full = jnp.where(phantom, 0, s_full)
+            lite_costs = jnp.where(phantom[None, :], 0, lite_costs)
+        else:
+            y0 = bids - 0.005
+            tr0 = dist.truncated_laplace(
+                k_lite, kw.bid_loc[None, :], kw.bid_scale[None, :],
+                -y0[None, :], y0[None, :], (lite, K), bits=cfg.lane_bits,
+            )
+            lite_costs = jnp.round(jnp.abs(tr0) * 100.0).astype(cents_dtype)
         out = [impressions, n_clicks, s_full, lite_costs]
     else:
         # NB all (M, K) tensors are lane-major: K rides the 128-lane axis
@@ -678,11 +747,31 @@ def simulate_day(
 
     if agg:
         cdt_agg = jnp.int64 if cfg.use_x64 else jnp.int32
-        # exact per-click cost cent moments — once per day (bid-dependent,
-        # sub-timestep-independent)
-        cost_moments = dist.single_cost_cent_moments(
-            bids, kw.bid_loc, kw.bid_scale, cfg.agg_cost_grid
-        )
+        agg_explicit = cfg.kind is KeywordKind.EXPLICIT
+        # exact per-click cost moments — once per day (bid-dependent,
+        # sub-timestep-independent). Units: the agg gate always runs in
+        # exact integers — cents for cent-quantized models, DECICENTS for
+        # the continuous rust-quirk explicit model (a documented agg-only
+        # quantization, PARITY.md "Aggregate cost sampling").
+        if agg_explicit:
+            if cfg.cost_model is CostModel.RUST_QUIRK:
+                agg_scale = 1000.0
+                cost_moments = dist.cost_create_deci_moments(bids)
+            else:
+                agg_scale = 100.0
+                cost_moments = dist.generic_cost_cent_moments(
+                    bids, cfg.agg_cost_grid
+                )
+            expl_cost_fn = (
+                dist.cost_create
+                if cfg.cost_model is CostModel.RUST_QUIRK
+                else dist.generic_cost
+            )
+        else:
+            agg_scale = 100.0
+            cost_moments = dist.single_cost_cent_moments(
+                bids, kw.bid_loc, kw.bid_scale, cfg.agg_cost_grid
+            )
         # uniform lite-lane count across both buffer tiers so the global
         # scope can stack the (L, K) lite tables over sub-timesteps
         L_lite = min(cfg.agg_lite_lanes, cfg.max_clicks_rest)
@@ -701,9 +790,13 @@ def simulate_day(
             pre-read by the caller's one-hot contractions — this body
             contains NO traced-index memory op (see the gate docstring
             on TPU shape discipline); ``t``/``k`` feed only scalar
-            fold_ins. Returns the maximal affordable prefix (accepted
-            clicks, spend cents); the spend is the masked cost sum —
-            ``ok`` is a prefix mask, so it equals the prefix at pj."""
+            fold_ins. For explicit keywords the lane sampler is the
+            parametric cost model on the one-hot-read bid (``y0``
+            carries bid - 0.005; phantom cells never deep-resolve, their
+            s_full is 0). Returns the maximal affordable prefix
+            (accepted clicks, spend in gate units); the spend is the
+            masked cost sum — ``ok`` is a prefix mask, so it equals the
+            prefix at pj."""
             kt = jax.random.fold_in(k_cells, t)
             k_auc = jax.random.split(kt, 4)[0]
             k_cost = jax.random.split(k_auc)[1]
@@ -711,11 +804,15 @@ def simulate_day(
             k_rest = jax.random.split(k_lanes)[1]
             k_col = jax.random.fold_in(k_rest, k)
             if m > L_lite:
-                tr = dist.truncated_laplace(
-                    k_col, loc, scale, -y0, y0, (m - L_lite,),
-                    bits=cfg.lane_bits,
-                )
-                rest = jnp.round(jnp.abs(tr) * 100.0).astype(cdt_agg)
+                if agg_explicit:
+                    d = expl_cost_fn(k_col, y0 + 0.005, (m - L_lite,))
+                    rest = jnp.round(d * agg_scale).astype(cdt_agg)
+                else:
+                    tr = dist.truncated_laplace(
+                        k_col, loc, scale, -y0, y0, (m - L_lite,),
+                        bits=cfg.lane_bits,
+                    )
+                    rest = jnp.round(jnp.abs(tr) * 100.0).astype(cdt_agg)
                 costs = jnp.concatenate([lite_col.astype(cdt_agg), rest])
             else:
                 costs = lite_col[:m].astype(cdt_agg)
@@ -731,8 +828,11 @@ def simulate_day(
             ``hit_k`` is a (K,) at-most-one-hot mask; all-false (the
             gate's no-bad-cell sweep) yields zeros, whose garbage
             resolution the gate discards through the same mask."""
-            loc = jnp.sum(jnp.where(hit_k, kw.bid_loc, 0.0))
-            scale = jnp.sum(jnp.where(hit_k, kw.bid_scale, 0.0))
+            if agg_explicit:
+                loc = scale = jnp.zeros((), jnp.float32)
+            else:
+                loc = jnp.sum(jnp.where(hit_k, kw.bid_loc, 0.0))
+                scale = jnp.sum(jnp.where(hit_k, kw.bid_scale, 0.0))
             y0 = jnp.sum(jnp.where(hit_k, bids_f, 0.0)) - 0.005
             return loc, scale, y0
 
@@ -746,11 +846,20 @@ def simulate_day(
             return _gate_keywords_lazy_agg(
                 b, broken, s_full_n, lite_n, ncl_n, resolve,
                 max_iter=s_full_n.shape[0] + 2,
+                resolve_w=cfg.gate_resolve_w,
             )
     else:
         cost_moments = None
 
-    if cents:
+    if agg:
+        # the agg gate always runs in exact integer units (agg_scale
+        # per dollar); for cent models this is identical to the cents
+        # branch below
+        cmax = float(jnp.iinfo(cdt_agg).max)
+        init_b = jnp.minimum(
+            jnp.round(jnp.asarray(budget) * agg_scale), cmax
+        ).astype(cdt_agg)
+    elif cents:
         cdt = jnp.int64 if cfg.use_x64 else jnp.int32
         cmax = float(jnp.iinfo(cdt).max)
         init_b = jnp.minimum(jnp.round(jnp.asarray(budget) * 100.0), cmax).astype(cdt)
@@ -777,6 +886,7 @@ def simulate_day(
         cfg, k_cells, kw, bids, jnp.asarray(0), n_auctions[0],
         cfg.max_clicks_per_cell, dtype, cost_moments=cost_moments,
         lite_lanes=L_lite if agg else 0,
+        agg_scale=agg_scale if agg else 100.0,
     )
     imp0, ncl0, cpre0, lite0, vpre0, rpre0 = _unpack(tab0)
     if T > 1:
@@ -799,10 +909,14 @@ def simulate_day(
             # the sampler's cost. Closure-captured, so vmap broadcasts it.
             from adcraft_tpu.auction import implicit_single_win_prob
 
+            if agg_explicit:
+                p_day = dist.threshold_sigmoid(
+                    bids, kw.imp_thresh, kw.imp_intercept, kw.imp_slope
+                )
+            else:
+                p_day = implicit_single_win_prob(bids, kw.bid_loc, kw.bid_scale)
             imp_ladder1 = dist.binomial_cdf(
-                n_auctions[1],
-                implicit_single_win_prob(bids, kw.bid_loc, kw.bid_scale),
-                cfg.max_clicks_rest,
+                n_auctions[1], p_day, cfg.max_clicks_rest
             )
         tabs1 = jax.vmap(
             lambda t, n: _cell_tables(
@@ -810,6 +924,7 @@ def simulate_day(
                 cost_moments=cost_moments,
                 lite_lanes=L_lite if agg else 0,
                 imp_ladder=imp_ladder1,
+                agg_scale=agg_scale if agg else 100.0,
             ),
             out_axes=axes,
         )(jnp.arange(1, T), n_auctions[1:])
@@ -1008,7 +1123,9 @@ def simulate_day(
 
     impressions = jnp.sum(imp, axis=0).astype(jnp.int32)
     buyside_clicks = jnp.sum(clicks, axis=0).astype(jnp.int32)
-    if cents:
+    if agg:
+        cost_sum = jnp.sum(cost, axis=0).astype(dtype) / agg_scale
+    elif cents:
         cost_sum = jnp.sum(cost, axis=0).astype(dtype) / 100.0
     else:
         cost_sum = jnp.sum(cost, axis=0)

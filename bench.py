@@ -62,10 +62,13 @@ def bench_cfg(max_volume: int = 576):
         cost_sampling=os.environ.get("BENCH_COST", "agg"),
         lane_bits=int(os.environ.get("BENCH_LANE_BITS", "16")),
         binomial_sampler=os.environ.get("BENCH_BINOM", "inversion"),
-        # one whole-day lazy gate beats 24 per-sub-timestep gates here
+        # chunked lazy-agg gate (scan of gate_chunk_t-sub-timestep groups)
+        # with W-way multi-resolution — the measured sweet spot (PLAN.md
+        # "Measured perf (round 4)")
         gate_scope=os.environ.get("BENCH_GATE_SCOPE", "chunk"),
         agg_lite_lanes=int(os.environ.get("BENCH_LITE", "1")),
         gate_chunk_t=int(os.environ.get("BENCH_CHUNK_T", "4")),
+        gate_resolve_w=int(os.environ.get("BENCH_RESOLVE_W", "1")),
     )
 
 
@@ -119,11 +122,16 @@ def main() -> None:
             "num_envs": NUM_ENVS,
             "num_keywords": NUM_KEYWORDS,
             "regime": "dense (mean_volume=128, cvr=0.8)",
+            "max_volume": cfg.max_volume,
             "conv_sampling": cfg.conv_sampling,
             "rev_sampling": cfg.rev_sampling,
             "cost_sampling": cfg.cost_sampling,
             "lane_bits": cfg.lane_bits,
             "binomial_sampler": cfg.binomial_sampler,
+            "gate_scope": cfg.gate_scope,
+            "gate_chunk_t": cfg.gate_chunk_t,
+            "gate_resolve_w": cfg.gate_resolve_w,
+            "agg_lite_lanes": cfg.agg_lite_lanes,
         },
     }
 
@@ -177,14 +185,17 @@ def main() -> None:
                     "prng_bound_env_steps_per_sec": round(ceiling, 1),
                     "prng_utilization": round(util, 3),
                 }
+                # separate keys: both notes can apply at once, and the
+                # spread warning matters most exactly when utilization
+                # looks wrong
                 if rate["spread"] > 3.0:
-                    out["roofline"]["note"] = (
+                    out["roofline"]["spread_note"] = (
                         "rate spread > 3x: some samples hit a degraded "
                         "tunnel; the median leans on healthy runs "
                         "(PLAN.md 'Perf model')"
                     )
                 if util > 1.0:
-                    out["roofline"]["note"] = (
+                    out["roofline"]["util_note"] = (
                         "utilization > 1: step not PRNG-bound at this word "
                         "count (or the rate sample is degraded; spread above)"
                     )

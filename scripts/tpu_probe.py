@@ -55,6 +55,7 @@ def time_step(tag):
         gate_scope=os.environ.get("BENCH_GATE_SCOPE", "chunk"),
         agg_lite_lanes=int(os.environ.get("BENCH_LITE", "1")),
         gate_chunk_t=int(os.environ.get("BENCH_CHUNK_T", "4")),
+        gate_resolve_w=int(os.environ.get("BENCH_RESOLVE_W", "1")),
     )
     table = simple_experiment_table(128, 0.8)
     venv = VectorBiddingEnv(cfg, NUM_ENVS, table=table)
@@ -215,9 +216,9 @@ def patch_maxiter_agg(cap: int):
 
     orig = step_mod._gate_keywords_lazy_agg
 
-    def capped(b0, br, sf, lite, ncl, resolve_fn, max_iter, speculate=1):
+    def capped(b0, br, sf, lite, ncl, resolve_fn, max_iter, resolve_w=1):
         return orig(b0, br, sf, lite, ncl, resolve_fn,
-                    min(max_iter, cap), speculate)
+                    min(max_iter, cap), resolve_w)
 
     step_mod._gate_keywords_lazy_agg = capped
 
@@ -229,11 +230,11 @@ def patch_noresolve_agg():
 
     orig = step_mod._gate_keywords_lazy_agg
 
-    def gate(b0, br, sf, lite, ncl, resolve_fn, max_iter, speculate=1):
-        def dummy(j, B, nk):
+    def gate(b0, br, sf, lite, ncl, resolve_fn, max_iter, resolve_w=1):
+        def dummy(j, B, nk, hit):
             return jnp.asarray(0, jnp.int32), jnp.zeros((), sf.dtype)
 
-        return orig(b0, br, sf, lite, ncl, dummy, max_iter, speculate)
+        return orig(b0, br, sf, lite, ncl, dummy, max_iter, resolve_w)
 
     step_mod._gate_keywords_lazy_agg = gate
 

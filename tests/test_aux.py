@@ -145,3 +145,87 @@ def test_multi_train_end_to_end():
         out["states"][1].params,
     )
     assert max(jax.tree.leaves(d01)) > 0.0
+
+
+@pytest.mark.slow
+def test_multi_train_mixed_algorithms():
+    """Mixed-family multi-policy training (reference multi_agent/train.py
+    accepts an arbitrary per-policy algo config_list): a PPO + TD3 pair
+    round-robin through multi_train and BOTH parameter sets move."""
+    import jax
+
+    from adcraft_tpu.agents.ppo import PPOConfig
+    from adcraft_tpu.agents.td3 import TD3Config
+    from adcraft_tpu.config import EnvConfig, KeywordKind
+    from adcraft_tpu.multi_agent import make_multi_trainers, multi_train
+    from adcraft_tpu.quantiles import simple_experiment_table
+
+    cfg = EnvConfig(
+        num_keywords=3, kind=KeywordKind.IMPLICIT, max_volume=48, max_days=6
+    )
+    trainers, states = make_multi_trainers(
+        cfg,
+        num_policies=2,
+        num_envs=4,
+        algo_cfgs=[
+            PPOConfig(
+                lr=1e-3, rollout_days=4, num_minibatches=2, num_epochs=1,
+                hidden=(8, 8),
+            ),
+            TD3Config(
+                buffer_size=256, batch_size=16, warmup_steps=4, hidden=(16, 16)
+            ),
+        ],
+        table=simple_experiment_table(16, 0.5),
+        seed=9,
+    )
+    ppo_before = jax.tree.map(lambda x: x.copy(), states[0].params)
+    td3_before = jax.tree.map(lambda x: x.copy(), states[1].critic1)
+
+    out = multi_train(trainers, states, epochs=3)
+
+    rm = out["sampler_results"]["policy_reward_mean"]
+    assert set(rm) == {"0", "1"}
+    assert all(np.isfinite(v) for v in rm.values())
+    ppo_moved = jax.tree.leaves(
+        jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            ppo_before,
+            out["states"][0].params,
+        )
+    )
+    td3_moved = jax.tree.leaves(
+        jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            td3_before,
+            out["states"][1].critic1,
+        )
+    )
+    assert max(ppo_moved) > 0.0, "PPO policy did not move"
+    assert max(td3_moved) > 0.0, "TD3 critic did not move"
+
+
+@pytest.mark.unit
+def test_make_multi_trainers_algo_name_dispatch():
+    """String specs build the right trainer families."""
+    from adcraft_tpu.agents.a2c import A2CTrainer
+    from adcraft_tpu.agents.ppo import PPOTrainer
+    from adcraft_tpu.agents.td3 import TD3Trainer
+    from adcraft_tpu.config import EnvConfig, KeywordKind
+    from adcraft_tpu.multi_agent import make_multi_trainers
+    from adcraft_tpu.quantiles import simple_experiment_table
+
+    cfg = EnvConfig(
+        num_keywords=2, kind=KeywordKind.IMPLICIT, max_volume=24, max_days=4
+    )
+    trainers, states = make_multi_trainers(
+        cfg,
+        num_policies=3,
+        num_envs=2,
+        algo_cfgs=["ppo", "a2c", "td3"],
+        table=simple_experiment_table(8, 0.5),
+    )
+    assert isinstance(trainers[0], PPOTrainer)
+    assert isinstance(trainers[1], A2CTrainer)
+    assert isinstance(trainers[2], TD3Trainer)
+    assert len(states) == 3

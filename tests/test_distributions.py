@@ -330,3 +330,55 @@ def test_rev_sum_cents_moments(key):
     ).sum(axis=1) / 100.0
     np.testing.assert_allclose(draws.mean(), ref.mean(), rtol=1e-2)
     np.testing.assert_allclose(draws.std(), ref.std(), rtol=3e-2)
+
+
+@pytest.mark.unit
+def test_clipped_normal_moments_match_monte_carlo():
+    rng = np.random.default_rng(3)
+    cases = [
+        (2.45, 0.17, 0.0, 4.4),   # cost_create at bid=1.0
+        (2.2, 0.6, 0.0, 4.4),
+        (4.3, 0.5, 0.0, 4.4),     # heavy upper censoring
+        (0.1, 0.4, 0.0, 4.4),     # heavy lower censoring
+        (1.0, 0.0, 0.0, 4.4),     # degenerate std
+        (5.0, 0.3, 0.0, 4.4),     # mean above the ceiling
+    ]
+    for mean, std, lo, hi in cases:
+        m, s = dist.clipped_normal_moments(
+            jnp.asarray(mean), jnp.asarray(std), lo, hi
+        )
+        draws = np.clip(rng.normal(mean, std, 400_000), lo, hi)
+        np.testing.assert_allclose(float(m), draws.mean(), rtol=2e-2, atol=2e-3)
+        np.testing.assert_allclose(float(s), draws.std(), rtol=3e-2, atol=2e-3)
+
+
+@pytest.mark.unit
+def test_generic_cost_cent_moments_match_sampler():
+    """Exact discrete cent moments vs a large generic_cost sample."""
+    rng = np.random.default_rng(4)
+    for bid in (0.25, 1.0, 2.4):
+        mu, sig, cmax = dist.generic_cost_cent_moments(jnp.asarray(bid), 304)
+        s = np.sqrt(bid)
+        raw = s / 4.0 + bid / 2.0 + (1e-10 + s / 6.0) * rng.normal(
+            size=400_000
+        )
+        draws = np.round(np.clip(raw, 0.0, bid) * 100.0)  # cents
+        assert float(cmax) == round(bid * 100)
+        assert draws.max() <= float(cmax)
+        np.testing.assert_allclose(float(mu), draws.mean(), rtol=5e-3, atol=0.2)
+        np.testing.assert_allclose(float(sig), draws.std(), rtol=2e-2, atol=0.2)
+
+
+@pytest.mark.unit
+def test_cost_create_deci_moments_match_sampler():
+    """Decicent moments vs a large cost_create sample (quantization
+    variance 1/12 included, negligible at this scale)."""
+    rng = np.random.default_rng(5)
+    for bid in (0.25, 1.0, 2.4):
+        mu, sig, cmax = dist.cost_create_deci_moments(jnp.asarray(bid))
+        s = np.sqrt(bid)
+        raw = s / 4.0 + 2.2 + (1e-10 + s / 6.0) * rng.normal(size=400_000)
+        draws = np.round(np.clip(raw, 0.0, 4.4) * 1000.0)  # decicents
+        assert float(cmax) == 4400.0
+        np.testing.assert_allclose(float(mu), draws.mean(), rtol=5e-3, atol=2.0)
+        np.testing.assert_allclose(float(sig), draws.std(), rtol=2e-2, atol=2.0)

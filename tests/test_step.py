@@ -455,30 +455,48 @@ def test_cost_agg_mode_matches_lanes_distribution():
 def test_cost_agg_lazy_gate_matches_scan_gate():
     """The lazy-agg gate must be bit-identical to the sequential scan
     evaluation of the same per-cell rule (full-by-aggregate /
-    lane-resolve otherwise), across binding budgets and both scopes."""
+    lane-resolve otherwise), across binding budgets, every scope
+    (incl. the bench-default "chunk" with a gate_chunk_t that does NOT
+    divide T-1) and multi-cell resolve widths."""
     kw = implicit_kw(IMPLICIT_CFG.num_keywords, 14)
     bids = jnp.full((IMPLICIT_CFG.num_keywords,), 1.0)
     base = IMPLICIT_CFG.replace(cost_sampling="agg")
     keys = jax.random.split(jax.random.PRNGKey(37), 16)
-    for scope in ("global", "per_t"):
+    # (gate_scope, gate_chunk_t, gate_resolve_w) variants; T-1 = 23 is
+    # prime, so ct in {3, 4} both exercise the zero-cell padding path
+    variants = [
+        ("global", 4, 1),
+        ("per_t", 4, 1),
+        ("chunk", 4, 1),
+        ("chunk", 3, 3),
+        ("global", 4, 4),
+    ]
+    def make(cfg):
+        # budget as a traced argument: ONE compile per config, not per budget
+        return jax.jit(
+            jax.vmap(
+                lambda k, bud, _c=cfg: simulate_day(_c, k, kw, bids, bud),
+                in_axes=(0, None),
+            )
+        )
+
+    for scope, ct, w in variants:
+        fl = make(base.replace(
+            gate_mode="lazy", gate_scope=scope, gate_chunk_t=ct,
+            gate_resolve_w=w,
+        ))
+        fs = make(base.replace(
+            gate_mode="scan",
+            gate_scope="per_t" if scope == "chunk" else scope,
+            gate_chunk_t=ct,
+        ))
         for budget in (0.5, 2.0, 8.0, 50.0):
-            cl = base.replace(gate_mode="lazy", gate_scope=scope)
-            cs = base.replace(gate_mode="scan", gate_scope=scope)
-            fl = jax.jit(
-                jax.vmap(
-                    lambda k: simulate_day(cl, k, kw, bids, jnp.asarray(budget))
-                )
-            )
-            fs = jax.jit(
-                jax.vmap(
-                    lambda k: simulate_day(cs, k, kw, bids, jnp.asarray(budget))
-                )
-            )
-            a = jax.tree.map(np.asarray, fl(keys))
-            b = jax.tree.map(np.asarray, fs(keys))
+            bud = jnp.asarray(budget, jnp.float32)
+            a = jax.tree.map(np.asarray, fl(keys, bud))
+            b = jax.tree.map(np.asarray, fs(keys, bud))
             for f, x, y in zip(a._fields, a, b):
                 np.testing.assert_array_equal(
-                    x, y, err_msg=f"{scope} budget={budget} field={f}"
+                    x, y, err_msg=f"{scope} w={w} budget={budget} field={f}"
                 )
             # budget respected exactly (integer-cent gating)
             total = a.cost.sum(axis=1)
@@ -510,11 +528,11 @@ def test_cost_agg_spend_matches_lanes_under_binding_budget():
 
 
 @pytest.mark.unit
-def test_cost_agg_requires_implicit_single():
-    """Config validation: agg needs the cent-quantized implicit-single
-    cost model."""
-    with pytest.raises(ValueError):
-        EnvConfig(kind=KeywordKind.EXPLICIT, cost_sampling="agg")
+def test_cost_agg_config_validation():
+    """Config validation: agg needs closed-form per-click cost moments —
+    implicit SINGLE_ABS_CENTS or explicit (either cost model); the
+    binomial-pool competitor model is rejected."""
+    EnvConfig(kind=KeywordKind.EXPLICIT, cost_sampling="agg")  # allowed (r4)
     with pytest.raises(ValueError):
         EnvConfig(
             kind=KeywordKind.IMPLICIT,
@@ -673,7 +691,7 @@ def test_lazy_agg_gate_fuzz_vs_scan_agg_gate():
     """Randomized adversarial agg-gate inputs (zero costs, zero budgets,
     n=0 cells, alternating partial cells): the lazy-agg gate must equal
     the sequential scan-agg gate bit-for-bit, across lite-lane widths
-    and speculation widths. resolve_fn reads a fixed table whose first
+    and multi-resolution widths. resolve_fn reads a fixed table whose first
     L lanes equal the lite table, mirroring the production
     key-consistency contract."""
     from functools import partial
@@ -707,10 +725,10 @@ def test_lazy_agg_gate_fuzz_vs_scan_agg_gate():
         )
 
     @partial(jax.jit, static_argnums=(5,))
-    def run_lazy(budget0, broken0, s_full, lite_costs, n, spec, table):
+    def run_lazy(budget0, broken0, s_full, lite_costs, n, w, table):
         return _gate_keywords_lazy_agg(
             budget0, broken0, s_full, lite_costs, n,
-            partial(_resolve, table), max_iter=N + 2, speculate=spec,
+            partial(_resolve, table), max_iter=N + 2, resolve_w=w,
         )
 
     for trial in range(100):
@@ -723,13 +741,120 @@ def test_lazy_agg_gate_fuzz_vs_scan_agg_gate():
         b = jax.tree.map(np.asarray, run_scan(budget0, broken0, s_full, n, table))
         for lite in (1, 2, 4):
             lite_costs = table[:, :lite].T  # (L, N)
-            for spec in (1, 3):
+            for w in (1, 3):
                 a = jax.tree.map(
                     np.asarray,
-                    run_lazy(budget0, broken0, s_full, lite_costs, n, spec, table),
+                    run_lazy(budget0, broken0, s_full, lite_costs, n, w, table),
                 )
                 for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
                     np.testing.assert_array_equal(
                         x, y,
-                        err_msg=f"trial {trial} lite={lite} speculate={spec}",
+                        err_msg=f"trial {trial} lite={lite} resolve_w={w}",
                     )
+
+
+@pytest.mark.unit
+@pytest.mark.parametrize("cost_model", ["python", "rust_quirk"])
+def test_explicit_cost_agg_matches_lanes_distribution(cost_model):
+    """cost_sampling="agg" for EXPLICIT keywords (VERDICT r3 item 4):
+    everything upstream of costs is bit-identical to the lanes path
+    (same key slots), and per-keyword day-spend moments match."""
+    from adcraft_tpu.config import CostModel
+
+    kw = explicit_kw(EXPLICIT_CFG.num_keywords, 21)
+    bids = jnp.full((EXPLICIT_CFG.num_keywords,), 1.0)
+    keys = jax.random.split(jax.random.PRNGKey(23), 256)
+    outs = {}
+    for mode in ("lanes", "agg"):
+        cfg = EXPLICIT_CFG.replace(
+            cost_sampling=mode, cost_model=CostModel(cost_model)
+        )
+        fn = jax.jit(
+            jax.vmap(
+                lambda k: simulate_day(cfg, k, kw, bids, jnp.asarray(1000.0))
+            )
+        )
+        outs[mode] = jax.tree.map(np.asarray, fn(keys))
+    for field in ("impressions", "buyside_clicks", "volume"):
+        np.testing.assert_array_equal(
+            getattr(outs["lanes"], field), getattr(outs["agg"], field),
+            err_msg=field,
+        )
+    np.testing.assert_allclose(
+        outs["lanes"].cost.mean(axis=0), outs["agg"].cost.mean(axis=0),
+        rtol=0.05, atol=0.02,
+    )
+    np.testing.assert_allclose(
+        outs["lanes"].cost.std(), outs["agg"].cost.std(), rtol=0.15, atol=0.02
+    )
+
+
+@pytest.mark.unit
+@pytest.mark.parametrize("cost_model", ["python", "rust_quirk"])
+def test_explicit_cost_agg_lazy_gate_matches_scan_gate(cost_model):
+    """Explicit-agg lazy gate vs sequential scan-agg: bit-identical
+    (the agg gate runs in exact integers for BOTH explicit cost models —
+    cents for python, decicents for the continuous rust quirk)."""
+    from adcraft_tpu.config import CostModel
+
+    kw = explicit_kw(EXPLICIT_CFG.num_keywords, 22)
+    bids = jnp.full((EXPLICIT_CFG.num_keywords,), 1.2)
+    base = EXPLICIT_CFG.replace(
+        cost_sampling="agg", cost_model=CostModel(cost_model)
+    )
+    keys = jax.random.split(jax.random.PRNGKey(29), 16)
+    def make(cfg):
+        return jax.jit(
+            jax.vmap(
+                lambda k, bud, _c=cfg: simulate_day(_c, k, kw, bids, bud),
+                in_axes=(0, None),
+            )
+        )
+
+    for scope, w in (("global", 1), ("chunk", 2), ("per_t", 1)):
+        fl = make(base.replace(
+            gate_mode="lazy", gate_scope=scope, gate_resolve_w=w
+        ))
+        fs = make(base.replace(
+            gate_mode="scan",
+            gate_scope="per_t" if scope == "chunk" else scope,
+        ))
+        for budget in (0.5, 3.0, 20.0, 200.0):
+            bud = jnp.asarray(budget, jnp.float32)
+            a = jax.tree.map(np.asarray, fl(keys, bud))
+            b = jax.tree.map(np.asarray, fs(keys, bud))
+            for f, x, y in zip(a._fields, a, b):
+                np.testing.assert_array_equal(
+                    x, y, err_msg=f"{cost_model} {scope} budget={budget} {f}"
+                )
+            total = a.cost.sum(axis=1)
+            assert np.all(total <= budget + 1e-5), (scope, budget, total.max())
+
+
+@pytest.mark.unit
+def test_explicit_agg_phantom_click_quirk_preserved():
+    """Zero-impression explicit cells still convert (phantom candidate)
+    and never spend, in agg mode as in lanes mode."""
+    # zero-volume-free keywords but a bid far below the sigmoid
+    # intercept: impressions ~ 0 while volume > 0
+    kw = explicit_kw(EXPLICIT_CFG.num_keywords, 25)
+    kw = kw._replace(
+        vol_mean=jnp.full_like(kw.vol_mean, 30.0),
+        imp_intercept=jnp.full_like(kw.imp_intercept, 5.0),
+        imp_slope=jnp.full_like(kw.imp_slope, 30.0),
+        sctr=jnp.full_like(kw.sctr, 0.9),
+    )
+    bids = jnp.full((EXPLICIT_CFG.num_keywords,), 0.5)
+    cfg = EXPLICIT_CFG.replace(cost_sampling="agg")
+    keys = jax.random.split(jax.random.PRNGKey(31), 64)
+    out = jax.tree.map(
+        np.asarray,
+        jax.jit(
+            jax.vmap(lambda k: simulate_day(cfg, k, kw, bids, jnp.asarray(100.0)))
+        )(keys),
+    )
+    assert out.impressions.sum() == 0
+    assert out.buyside_clicks.sum() > 0  # phantom candidates clicked
+    assert out.sellside_conversions.sum() > 0
+    np.testing.assert_array_equal(out.cost, 0.0)  # phantoms never spend
+    assert out.revenue.sum() > 0
