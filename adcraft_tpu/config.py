@@ -199,19 +199,23 @@ class EnvConfig:
     #           closed-form moments of the pool max). Used by bench.py.
     cost_sampling: str = "lanes"
 
-    # Deep resolutions per lazy-agg gate sweep: each while-loop sweep
-    # lane-materializes the first W budget-partial ("deep") cells —
-    # selected by rank in the bad mask (elementwise cumsum, no top_k) and
-    # resolved against budgets recomputed from the sweep's evolving
-    # spends. Under vmap the batch pays the WORST env's sweep count, so W
-    # divides the lockstep chain length of budget-decay tails by ~W at
-    # the cost of W lane resolutions per sweep. Bit-identical for any W
-    # (tests cross-check).
+    # Classify+resolve rounds per lazy-agg while-loop iteration: each
+    # round re-evaluates the bulk classes against the budgets updated by
+    # the previous round's resolution and lane-materializes the first
+    # budget-partial ("deep") cell. Budget-decay chains expose one deep
+    # cell per classification, so W rounds shrink the LOCKSTEP iteration
+    # count ~W-fold; under vmap the batch pays the worst env's iteration
+    # count, and the fixed per-iteration overhead — not the classify
+    # FLOPs — dominates gate time on the TPU (PLAN.md "Measured perf
+    # (round 4)"). Bit-identical for any W (tests cross-check).
     gate_resolve_w: int = 1
 
     # Cent-grid size for the exact per-click cost moments under
     # cost_sampling="agg": moments are exact for bids <= agg_cost_grid/100
-    # (the reference's bid grid tops out at $3.00).
+    # (the reference's bid grid tops out at $3.00). Used by the explicit
+    # PYTHON cost model's normal-CDF pmf; the implicit path uses the
+    # closed-form geometric-series moments (exact for every bid, no
+    # grid — distributions.single_cost_cent_moments_closed).
     agg_cost_grid: int = 304
 
     # Number of per-click cost lanes pre-materialized per cell under

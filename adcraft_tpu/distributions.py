@@ -115,16 +115,48 @@ def binomial_inv(
         count = #{ j in [0, nmax) : P(X <= j) < u }   (== the quantile
         function min{k : CDF(k) >= u}, i.e. exact inverse-CDF sampling)
 
-    The pmf ladder is built by the stable ratio recurrence on
-    q = min(p, 1-p) (so the start term (1-q)^n >= 2^-n never underflows
-    and the ratio q/(1-q) <= 1), flipping the count to n - count when
-    p > 1/2. f32 CDF rounding perturbs bucket probabilities by O(n*eps)
-    ~ 1e-5 — the same order as the bits=16 uniform quantization (PARITY.md
-    "16-bit lane uniforms"). Stream-incompatible with ``binomial`` (one
-    uniform vs rejection draws); selected by ``EnvConfig.binomial_sampler``.
+    The pmf walk uses the stable ratio recurrence on q = min(p, 1-p) (so
+    the start term (1-q)^n >= 2^-n never underflows and the ratio
+    q/(1-q) <= 1), flipping the count to n - count when p > 1/2. f32 CDF
+    rounding perturbs bucket probabilities by O(n*eps) ~ 1e-5 — the same
+    order as the bits=16 uniform quantization (PARITY.md "16-bit lane
+    uniforms"). Stream-incompatible with ``binomial`` (one uniform vs
+    rejection draws); selected by ``EnvConfig.binomial_sampler``.
+
+    The walk is UNROLLED over the nmax levels with scalar carries
+    (pmf, cdf, count) so XLA fuses it into one elementwise pass over
+    (n, p, u) — nothing of shape (nmax+1, ...) is ever materialized.
+    The varying-``n`` hot sites (clicks given impressions, conversions
+    given accepted clicks) build their ladder per CELL, where the
+    materialized cumprod/cumsum intermediates were the step's largest
+    HBM-traffic term at bench shape (PLAN.md "Measured perf (round 4)").
+    Same uniform consumption as the materialized ``binomial_cdf`` path;
+    counts can differ from it at exact f32 CDF ties (sequential vs
+    parallel-scan rounding), within the documented O(n*eps) tolerance.
     """
-    ladder = binomial_cdf(n, p, nmax, shape=shape)
-    return binomial_inv_from_cdf(key, ladder, bits=bits)
+    n = jnp.asarray(n, jnp.float32)
+    p = jnp.clip(jnp.asarray(p, jnp.float32), 0.0, 1.0)
+    if shape is None:
+        shape = jnp.broadcast_shapes(n.shape, p.shape)
+    n = jnp.broadcast_to(n, shape)
+    p = jnp.broadcast_to(p, shape)
+    flip = p > 0.5
+    q = jnp.where(flip, 1.0 - p, p)  # q <= 0.5
+    r = q / (1.0 - q)  # <= 1
+    u = uniform16(key, shape) if bits == 16 else jax.random.uniform(key, shape)
+    pmf = (1.0 - q) ** n
+    cdf = pmf
+    cnt = (cdf < u).astype(jnp.int32)
+    one = jnp.ones((), jnp.int32)
+    for j in range(1, nmax):
+        # pmf_j = pmf_{j-1} * (n - j + 1)/j * r; terms past j = n hit an
+        # exact zero factor (n integer); the clamp keeps j > n+1 out
+        pmf = jnp.maximum(pmf * ((n - (j - 1.0)) * (r / j)), 0.0)
+        cdf = cdf + pmf
+        cnt = cnt + jnp.where(cdf < u, one, 0)
+    ni = jnp.round(n).astype(jnp.int32)
+    cnt = jnp.clip(cnt, 0, ni)
+    return jnp.where(flip, ni - cnt, cnt).astype(jnp.int32)
 
 
 def binomial_cdf(n: Array, p: Array, nmax: int, shape=None):
@@ -135,11 +167,13 @@ def binomial_cdf(n: Array, p: Array, nmax: int, shape=None):
     with a (n, p) that repeats across draw sites — e.g. the per-day
     tier-1 auction binomial, whose ``n = vol//T`` and win probability
     are identical for all T-1 sub-timesteps — build the ladder ONCE and
-    pay only the one-uniform compare per site: the ladder (the pow /
-    cumprod / cumsum recurrence over nmax+1 levels) dominates the
-    sampler's cost. ``binomial_inv(key, n, p, ...)`` ==
-    ``binomial_inv_from_cdf(key, binomial_cdf(n, p, ...))`` bit-for-bit
-    by construction.
+    pay only the one-uniform compare per site.
+    ``binomial_inv_from_cdf(key, binomial_cdf(n, p, ...))`` consumes the
+    same uniform as ``binomial_inv(key, n, p, ...)`` and walks the same
+    recurrence; counts agree except at exact f32 CDF ties, where the
+    materialized cumprod/cumsum (parallel-scan rounding) can differ in
+    the last ulp from the fused sequential walk (within binomial_inv's
+    documented O(n*eps) tolerance).
     """
     n = jnp.asarray(n, jnp.float32)
     p = jnp.clip(jnp.asarray(p, jnp.float32), 0.0, 1.0)
@@ -501,6 +535,121 @@ def single_cost_cent_moments(bid: Array, loc: Array, scale: Array, grid: int):
     m2 = jnp.sum((2.0 * ii + 1.0) * tail, axis=0) / zsafe
     var = jnp.maximum(m2 - mu * mu, 0.0)
     cmax = jnp.maximum(jnp.round(bid * 100.0) - 1.0, 0.0)
+    return mu, jnp.sqrt(var), cmax
+
+
+def single_cost_cent_moments_closed(bid: Array, loc: Array, scale: Array):
+    """Closed-form ``single_cost_cent_moments`` — no cent grid.
+
+    The grid version sums Laplace tail-CDF values over ``grid`` cent
+    cells; those are geometric series in the cell index (the Laplace CDF
+    is piecewise exponential with per-cent ratio exp(-1/(100 s))), so
+    both Abel sums collapse to a handful of scalar terms:
+
+        sum_{i<I} (Z - G_i)      and      sum_{i<I} i (Z - G_i)
+
+    with I = bid_cents - 1 cells, split at the |loc| breakpoint m where
+    the CDF changes branch. Exact for EVERY bid (the grid version is
+    exact only for bids <= grid/100), identical values up to f32
+    rounding (tests cross-check against the grid). All exponents are
+    arranged to be <= 0 in their selected branch (expm1-stabilized
+    geometric ratios; out-of-branch overflows are discarded by the
+    selects), so the formulas are safe for any (bid, loc, scale).
+
+    Replaces the materialized (grid-1, K) tail table in the hot step —
+    measured ~1 ms/step at bench shape (PLAN.md "Measured perf
+    (round 4)"). |Laplace(loc, s)| depends on loc only through |loc|,
+    so a = |loc| throughout. Returns (mean_cents, std_cents,
+    cmax_cents) like the grid version.
+    """
+    bid = jnp.asarray(bid, jnp.float32)
+    a = jnp.abs(jnp.asarray(loc, jnp.float32))
+    s = jnp.maximum(jnp.asarray(scale, jnp.float32), 1e-12)
+    shape = jnp.broadcast_shapes(bid.shape, a.shape, s.shape)
+    bid = jnp.broadcast_to(bid, shape)
+    a = jnp.broadcast_to(a, shape)
+    s = jnp.broadcast_to(s, shape)
+
+    y0 = jnp.maximum(bid - 0.005, 0.0)
+    c = 1.0 / (100.0 * s)  # per-cent decay exponent
+    bc = jnp.round(bid * 100.0)
+    big_i = jnp.maximum(bc - 1.0, 0.0)  # number of summed cells
+    # cells below the |loc| breakpoint: e_i = (i+0.5)/100 < a
+    m = jnp.clip(jnp.ceil(100.0 * a - 0.5), 0.0, big_i)
+
+    em1 = -jnp.expm1(-c)  # 1 - exp(-c), stable for small c
+
+    def geo0(n):
+        # sum_{k<n} exp(-k c)
+        return -jnp.expm1(-n * c) / em1
+
+    def geo1(n):
+        # sum_{k<n} k exp(-k c)
+        e_c = jnp.exp(-c)
+        return (
+            e_c
+            * (1.0 - n * jnp.exp(-(n - 1.0) * c) + (n - 1.0) * jnp.exp(-n * c))
+            / (em1 * em1)
+        )
+
+    def safe_exp(x):
+        # exponents are <= 0 in their selected branch; clamp so the
+        # unselected branch cannot produce inf (then nan via 0*inf)
+        return jnp.exp(jnp.minimum(x, 0.0))
+
+    e_half = jnp.exp(-0.5 * c)
+    e_y0 = safe_exp(-y0 / s)  # exp(-y0/s)
+
+    # B_i = 0.5 exp(-a/s) (exp(-e_i/s) - exp(-y0/s)), for all i < I
+    b_fac = safe_exp(-(a + 0.005) / s)  # exp(-a/s) exp(-c/2)
+    b_cut = safe_exp(-(a + y0) / s)  # exp(-a/s) exp(-y0/s)
+    sum_b = 0.5 * (b_fac * geo0(big_i) - big_i * b_cut)
+    sum_ib = 0.5 * (b_fac * geo1(big_i) - 0.5 * big_i * (big_i - 1.0) * b_cut)
+
+    # case y0 <= a: A_i = 0.5 (exp(-(a-y0)/s) - exp(-(a-e_i)/s)), all i
+    e_ay = safe_exp(-(a - y0) / s)
+    # R2 over i < n: sum exp(-(a - e_i)/s) = t2(n) * geo0(n) reindexed
+    # from the top (largest term at i = n-1), t2 = exp(-(100a - n + 0.5)c)
+    def r2(n):
+        t2 = safe_exp(-(100.0 * a - n + 0.5) * c)
+        return t2 * geo0(n), t2 * ((n - 1.0) * geo0(n) - geo1(n))
+
+    r2_i, r2w_i = r2(big_i)
+    sum_a_low = 0.5 * (big_i * e_ay - r2_i)
+    sum_ia_low = 0.5 * (0.5 * big_i * (big_i - 1.0) * e_ay - r2w_i)
+
+    # case y0 > a:
+    #   i < m:  A_i = 1 - 0.5 exp(-(y0-a)/s) - 0.5 exp(-(a-e_i)/s)
+    #   i >= m: A_i = 0.5 exp(a/s)(exp(-e_i/s) - exp(-y0/s))
+    #           = 0.5 (exp(-(e_i-a)/s) - exp(-(y0-a)/s))
+    e_ya = safe_exp(-(y0 - a) / s)
+    r2_m, r2w_m = r2(m)
+    sum_a_pre = m * (1.0 - 0.5 * e_ya) - 0.5 * r2_m
+    sum_ia_pre = 0.5 * m * (m - 1.0) * (1.0 - 0.5 * e_ya) - 0.5 * r2w_m
+    # top part: exp(-(e_i - a)/s) = t3 exp(-(i-m)c), t3 = exp(-(m+0.5-100a)c)
+    # (m + 0.5 - 100a is in (-0.5, 0.5]; the slight positive exponent is
+    # bounded by e^{c/2}, not clamped)
+    n_top = big_i - m
+    t3 = jnp.exp(jnp.minimum(-(m + 0.5 - 100.0 * a) * c, 30.0))
+    s3 = t3 * geo0(n_top)
+    s3w = t3 * geo1(n_top) + m * s3  # sum of i * exp(...) via i = k + m
+    sum_a_top = 0.5 * (s3 - n_top * e_ya)
+    # sum over i in [m, I) of i: m..I-1
+    sum_i_top = 0.5 * (big_i - 1.0 + m) * n_top
+    sum_ia_top = 0.5 * s3w - 0.5 * sum_i_top * e_ya
+
+    low = y0 <= a
+    sum_a = jnp.where(low, sum_a_low, sum_a_pre + sum_a_top)
+    sum_ia = jnp.where(low, sum_ia_low, sum_ia_pre + sum_ia_top)
+
+    z = laplace_cdf(y0, a, s) - laplace_cdf(-y0, a, s)
+    zsafe = jnp.maximum(z, 1e-12)
+    tail0 = jnp.maximum(sum_a + sum_b, 0.0)
+    tail1 = jnp.maximum(sum_ia + sum_ib, 0.0)
+    mu = tail0 / zsafe
+    m2 = (2.0 * tail1 + tail0) / zsafe
+    var = jnp.maximum(m2 - mu * mu, 0.0)
+    cmax = jnp.maximum(bc - 1.0, 0.0)
     return mu, jnp.sqrt(var), cmax
 
 

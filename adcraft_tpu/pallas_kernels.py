@@ -1,10 +1,15 @@
-"""Fused Pallas day kernel.
+"""Fused Pallas day kernel — ARCHIVED reference kernel, not a perf path.
 
-The XLA step is dominated by software costs that scale with the draw
-count: threefry bit generation, HBM materialization of the per-cell
-prefix tables, and the budget-gate passes over them (scripts/tpu_probe.py
-decomposition: at 4096 envs the gate-free sampling phase alone is ~450 ms,
-the gate ~400 ms). This kernel runs the ENTIRE day in VMEM:
+STATUS (round 4, PLAN.md "Pallas day-kernel FATE"): hardware-validated at
+1,915 env-steps/s in round 1, but both of its premises are measured dead
+— the hardware PRNG (3.43G words/s) is ~6x SLOWER than healthy threefry,
+and the agg sampling modes already removed the HBM tables it avoided.
+The r4 XLA path runs 164x faster (314k env-steps/s). It is retained as
+an interpret-tested reference TPU kernel for the lanes-semantics day
+(tests/test_pallas.py keeps it compiling and distribution-correct);
+``day_kernel="pallas"`` remains a guarded opt-in.
+
+Original design notes — the kernel runs the ENTIRE day in VMEM:
 
 * grid (E/E_BLK, T) — the TPU grid is sequential, so the shared depleting
   budget threads through sub-timesteps in exactly the reference's order

@@ -50,6 +50,7 @@ from adcraft_tpu.keywords import KeywordState
 
 Array = jax.Array
 
+
 # Profiling hook (scripts/gate_stats.py): when set to a callable, every
 # lazy-agg gate call invokes it with the final sweep-counter array `it`
 # (per-env under vmap — batched while_loop freezes each element's carry
@@ -368,18 +369,24 @@ def _gate_keywords_lazy_agg(
     37k env-steps/s/chip regression from one such extra O(w) term;
     PLAN.md "Measured perf (round 3)").
 
-    ``resolve_w`` deep-resolves up to W bad cells PER SWEEP instead of
-    one, cutting the worst-env sweep count to ~ceil(#deep cells / W).
-    The w-th bad cell is selected by its RANK in the bad mask
-    (``cumsum(bad) == w`` — plain elementwise math, no top_k) and
-    resolved against budgets recomputed from the sweep's evolving spends
-    (cheap O(N) cumsum per w, unrolled at trace time, no inner scan —
-    both were the measured cost of the reverted round-3 "speculative
-    multi-resolution"). Later-rank resolutions may still be provisional
-    (an earlier cell's class can flip next sweep); exactness is
-    preserved because a resolution is only trusted while its recorded
-    start budget matches (``bres == B``), and the loop exits only at a
-    genuine fixed point of the forward-substitution equations.
+    ``resolve_w`` runs W classify+resolve ROUNDS per while-loop
+    iteration (unrolled at trace time, no inner scan): each round
+    re-evaluates the bulk classes against budgets updated by the
+    previous round's resolution and deep-resolves the first bad cell.
+    This shortens the LOCKSTEP iteration count ~W-fold for budget-decay
+    chains, whose defining property is that each resolution exposes the
+    next bad cell only after budgets settle (measured: a rank-mask
+    multi-resolution that picks W bad cells from ONE classification
+    barely shortens chains — scripts/gate_stats.py — because a sweep
+    typically exposes exactly one bad cell; and on the TPU the cost is
+    dominated by the ~0.4 ms fixed overhead of a vmapped while-loop
+    iteration, not by the classify FLOPs, so trading W cheap fused
+    rounds for one lockstep iteration is the right exchange — PLAN.md
+    "Measured perf (round 4)"). Exactness: ``changed`` accumulates over
+    all W rounds, so the loop exits via ``~changed`` only when round 1
+    was already a no-op — a genuine fixed point of the single-sweep map;
+    the break-early exit re-checks its invariant on the LAST round's
+    state only.
 
     Before the while loop one resolve-free classification pass runs
     UNROLLED (the "warm init"): with zero initial spends every cell sees
@@ -440,60 +447,87 @@ def _gate_keywords_lazy_agg(
         return spend2, p2, bad
 
     def body(carry):
-        spend, p, fixed, bres, _done, it = carry
-        spend2, p2, bad = classify(spend, p, fixed, bres)
-        j = jnp.min(jnp.where(bad, karange, n))
-        # deep-resolve the first W bad cells (by rank in the bad mask)
-        # against budgets recomputed from the sweep's evolving spends.
-        # All cell-indexed reads go through the one-hot mask (never
-        # jnp.take / dynamic_slice with a traced index: under vmap those
-        # lower to per-env gathers, measured ~20-25 ms per sweep at 4096
-        # envs — PLAN.md "Measured perf (round 3)"). When fewer than w
-        # cells are bad the masks are all-false, the resolver runs on
-        # zero inputs and its output is discarded by the same masks.
-        rank = jnp.cumsum(bad.astype(jnp.int32))
-        fixed2, bres2 = fixed, bres
-        for w in range(1, W + 1):
-            hit = bad & (rank == w)
+        spend0_, p0_, fixed0_, bres0_, _done, it = carry
+        spend, p, fixed, bres = spend0_, p0_, fixed0_, bres0_
+        changed = jnp.asarray(False)
+        j = jnp.asarray(0, karange.dtype)
+        spend2 = spend
+        p2 = p
+        for _w in range(W):
+            spend2, p2, bad = classify(spend, p, fixed, bres)
+            j = jnp.min(jnp.where(bad, karange, n))
+            # deep-resolve the first bad cell against budgets recomputed
+            # from this round's classified spends. All cell-indexed
+            # reads go through the one-hot mask (never jnp.take /
+            # dynamic_slice with a traced index: under vmap those lower
+            # to per-env gathers, measured ~20-25 ms per sweep at 4096
+            # envs — PLAN.md "Measured perf (round 3)"). When no cell is
+            # bad the mask is all-false, the resolver runs on zero
+            # inputs and its output is discarded by the same mask.
+            hit = karange == j
             excl = jnp.concatenate([zero[None], jnp.cumsum(spend2)[:-1]])
             B = budget0 - excl
             hot = hit.astype(B.dtype)
             Bj = jnp.sum(B * hot)
             nkj = jnp.sum(n_clicks * hit.astype(n_clicks.dtype))
-            jw = j if w == 1 else jnp.min(jnp.where(hit, karange, n))
-            pj, sj = resolve_fn(jw, Bj, nkj, hit)
+            pj, sj = resolve_fn(j, Bj, nkj, hit)
             spend2 = jnp.where(hit, sj, spend2)
             p2 = jnp.where(hit, pj, p2)
-            fixed2 = fixed2 | hit
-            bres2 = jnp.where(hit, Bj, bres2)
+            fixed2 = fixed | hit
+            bres2 = jnp.where(hit, Bj, bres)
+            changed = changed | (
+                jnp.any(spend2 != spend)
+                | jnp.any(p2 != p)
+                | jnp.any(fixed2 != fixed)
+                | jnp.any(bres2 != bres)
+            )
+            spend, p, fixed, bres = spend2, p2, fixed2, bres2
 
-        changed = (
-            jnp.any(spend2 != spend)
-            | jnp.any(p2 != p)
-            | jnp.any(fixed2 != fixed)
-            | jnp.any(bres2 != bres)
-        )
-        stable_pre = ~jnp.any(((spend2 != spend) | (p2 != p)) & (karange < j))
+        # exit checks on the LAST round's state: ~changed means even the
+        # FIRST round was a no-op (changed accumulates), i.e. a genuine
+        # fixed point; the second exit needs the pre-j prefix stable in
+        # the last round and a budget break strictly before j
+        stable_pre = ~jnp.any(((spend2 != spend0_) | (p2 != p0_)) & (karange < j))
         b_path = budget0 - jnp.cumsum(spend2)
         first_brk = jnp.min(jnp.where(b_path <= 0, karange, n))
         done = ~changed | (stable_pre & (first_brk < j))
-        return spend2, p2, fixed2, bres2, done, it + 1
+        return spend, p, fixed, bres, done, it + 1
 
     def cond(carry):
         _s, _p, _f, _b, done, it = carry
         return ~done & (it < max_iter)
 
-    # warm init: one resolve-free class pass outside the loop (all-B =
-    # budget0; pure bulk math, fused into the sampling phase by XLA)
+    # warm init: TWO resolve-free class passes outside the loop (pure
+    # bulk math, fused into the sampling phase by XLA — no lockstep
+    # iteration cost). Pass 1 classifies everything against B = budget0;
+    # pass 2 re-classifies against the resulting budget path AND
+    # evaluates the done-condition on it, so a gate whose budget never
+    # binds (or breaks early with a stable prefix) enters the while loop
+    # with done already True and runs ZERO iterations — under vmap this
+    # keeps quiet gate calls from paying the worst env's chain.
     f0 = jnp.zeros((n,), bool)
     br0 = jnp.zeros((n,), s_full.dtype)
     spend1, p1, _bad1 = classify(
         jnp.zeros((n,), s_full.dtype), jnp.zeros((n,), jnp.int32), f0, br0
     )
+    spend2w, p2w, bad2 = classify(spend1, p1, f0, br0)
+    j2 = jnp.min(jnp.where(bad2, karange, n))
+    changed2 = jnp.any(spend2w != spend1) | jnp.any(p2w != p1)
+    stable2 = ~jnp.any(((spend2w != spend1) | (p2w != p1)) & (karange < j2))
+    b_path2 = budget0 - jnp.cumsum(spend2w)
+    brk2 = jnp.min(jnp.where(b_path2 <= 0, karange, n))
+    done0 = (~changed2 & ~jnp.any(bad2)) | (stable2 & (brk2 < j2))
     spend, p, _f, _b, _done, _it = lax.while_loop(
         cond,
         body,
-        (spend1, p1, f0, br0, jnp.asarray(broken0), jnp.asarray(1, jnp.int32)),
+        (
+            spend2w,
+            p2w,
+            f0,
+            br0,
+            jnp.asarray(broken0) | done0,
+            jnp.asarray(2, jnp.int32),
+        ),
     )
     if _GATE_STATS_HOOK is not None:
         _GATE_STATS_HOOK(_it)
@@ -769,8 +803,11 @@ def simulate_day(
             )
         else:
             agg_scale = 100.0
-            cost_moments = dist.single_cost_cent_moments(
-                bids, kw.bid_loc, kw.bid_scale, cfg.agg_cost_grid
+            # closed-form geometric-series moments (exact for every bid,
+            # no (grid, K) tail table in the step — the grid version
+            # remains the cross-check, tests/test_distributions.py)
+            cost_moments = dist.single_cost_cent_moments_closed(
+                bids, kw.bid_loc, kw.bid_scale
             )
         # uniform lite-lane count across both buffer tiers so the global
         # scope can stack the (L, K) lite tables over sub-timesteps
@@ -790,13 +827,16 @@ def simulate_day(
             pre-read by the caller's one-hot contractions — this body
             contains NO traced-index memory op (see the gate docstring
             on TPU shape discipline); ``t``/``k`` feed only scalar
-            fold_ins. For explicit keywords the lane sampler is the
-            parametric cost model on the one-hot-read bid (``y0``
-            carries bid - 0.005; phantom cells never deep-resolve, their
-            s_full is 0). Returns the maximal affordable prefix
-            (accepted clicks, spend in gate units); the spend is the
-            masked cost sum — ``ok`` is a prefix mask, so it equals the
-            prefix at pj."""
+            fold_ins. (Precomputing these keys in the sampling phase
+            and one-hot-reading them in the gate was MEASURED SLOWER —
+            19.9 vs 14.2 ms/step at 4096 envs — so the in-gate fold
+            chain stays; PLAN.md "Measured perf (round 4)".) For
+            explicit keywords the lane sampler is the parametric cost
+            model on the one-hot-read bid (``y0`` carries bid - 0.005;
+            phantom cells never deep-resolve, their s_full is 0).
+            Returns the maximal affordable prefix (accepted clicks,
+            spend in gate units); the spend is the masked cost sum —
+            ``ok`` is a prefix mask, so it equals the prefix at pj."""
             kt = jax.random.fold_in(k_cells, t)
             k_auc = jax.random.split(kt, 4)[0]
             k_cost = jax.random.split(k_auc)[1]

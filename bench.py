@@ -44,12 +44,12 @@ QUICK = os.environ.get("BENCH_QUICK", "0") == "1"
 BASELINE_ENV_STEPS_PER_SEC = 1.9  # BASELINE.md derived midpoint
 
 
-def bench_cfg(max_volume: int = 576):
+def bench_cfg(max_volume: int = 576, kind: str = "implicit"):
     from adcraft_tpu.config import EnvConfig, KeywordKind
 
     return EnvConfig(
         num_keywords=NUM_KEYWORDS,
-        kind=KeywordKind.IMPLICIT,
+        kind=KeywordKind(kind),
         max_volume=max_volume,
         max_days=60,
         day_kernel=os.environ.get("BENCH_KERNEL", "xla"),
@@ -152,19 +152,30 @@ def main() -> None:
             out["scaling_error"] = repr(exc)[:200]
             note(f"scaling failed: {exc!r}")
 
+        out["regimes"] = {}
         try:
             # the reference's sparse timing regime (cells 5-6: vol=16, cvr=0.1)
             sparse = simple_experiment_table(16, 0.1)
             sparse_cfg = bench_cfg(max_volume=128)  # covers round(N(16, 1+8))
-            out["regimes"] = {
-                "very_sparse_16_0.1": round(
-                    measure(sparse_cfg, NUM_ENVS, sparse) / n_chips, 1
-                )
-            }
+            out["regimes"]["very_sparse_16_0.1"] = round(
+                measure(sparse_cfg, NUM_ENVS, sparse) / n_chips, 1
+            )
             note(f"sparse regime: {out['regimes']['very_sparse_16_0.1']}")
         except Exception as exc:  # pragma: no cover - tunnel flakiness
             out["regimes_error"] = repr(exc)[:200]
             note(f"regimes failed: {exc!r}")
+
+        try:
+            # dense EXPLICIT keywords on the same agg/gate knobs (round-4
+            # explicit aggregate-cost support; VERDICT r3 item 4)
+            expl_cfg = bench_cfg(kind="explicit")
+            out["regimes"]["dense_explicit"] = round(
+                measure(expl_cfg, NUM_ENVS, dense) / n_chips, 1
+            )
+            note(f"dense explicit regime: {out['regimes']['dense_explicit']}")
+        except Exception as exc:  # pragma: no cover - tunnel flakiness
+            out["regimes_explicit_error"] = repr(exc)[:200]
+            note(f"explicit regime failed: {exc!r}")
 
         try:
             # PRNG roofline: words/day and the measured threefry rate bound

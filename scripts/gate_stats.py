@@ -50,7 +50,7 @@ class _UnrolledLax:
 
     @staticmethod
     def scan(f, init, xs, **kw):
-        n = jax.tree.util.tree_leaves(xs)[0].shape[0]
+        n = jax.tree.leaves(xs)[0].shape[0]
         carry, ys = init, []
         for i in range(n):
             x = jax.tree.map(lambda a: a[i], xs)

@@ -68,14 +68,24 @@ def time_step(tag):
     float(ts.reward.sum())
     compile_s = time.perf_counter() - t_c0
 
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        state, ts = venv.step(state, bids)
-    float(ts.reward.sum())
-    dt = time.perf_counter() - t0
+    # min over several timing windows: the tunnel's service latency
+    # drifts UP over a process's life (measured: an identical program
+    # re-timed at the end of a 7-variant process ran 41 ms/step vs 27 at
+    # the start), so the minimum is the closest available estimate of
+    # device time; the per-window list is printed to expose the drift.
+    windows = []
+    for _ in range(int(os.environ.get("PROBE_WINDOWS", 3))):
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            state, ts = venv.step(state, bids)
+        float(ts.reward.sum())
+        windows.append(time.perf_counter() - t0)
+    dt = min(windows)
     print(
         f"PROBE {tag}: {NUM_ENVS * STEPS / dt:.1f} env-steps/s "
-        f"({dt / STEPS * 1e3:.1f} ms/step, compile+warm {compile_s:.1f}s)",
+        f"({dt / STEPS * 1e3:.1f} ms/step min of "
+        f"{[round(w / STEPS * 1e3, 1) for w in windows]}, "
+        f"compile+warm {compile_s:.1f}s)",
         flush=True,
     )
 
@@ -197,8 +207,8 @@ def patch_nogate_agg():
     """Agg gate -> unconditional full acceptance (timing only)."""
     import adcraft_tpu.step as step_mod
 
-    def accept_all(budget0, broken0, s_full, first_cost, n_clicks, resolve_fn,
-                   max_iter=0):
+    def accept_all(budget0, broken0, s_full, lite_costs, n_clicks, resolve_fn,
+                   max_iter=0, resolve_w=1):
         n = s_full.shape[0]
         sim = jnp.full((n,), True)
         return (budget0, broken0), (n_clicks, s_full, sim)
@@ -239,6 +249,45 @@ def patch_noresolve_agg():
     step_mod._gate_keywords_lazy_agg = gate
 
 
+def patch_nodraws_agg():
+    """Aggregate spend/revenue normals -> deterministic means (timing
+    only) — isolates the cost of the per-cell aggregate draws."""
+    from adcraft_tpu import distributions as dist_mod
+
+    def det_agg_cost(key, n_clicks, mu, sigma, cmax, cents_dtype):
+        import jax.numpy as jnp
+
+        n = n_clicks.astype(jnp.float32)
+        return jnp.clip(jnp.round(n * mu), 0.0, n * cmax).astype(cents_dtype)
+
+    def det_rev_sum(key, nconv, rev_mean, rev_std, cents_dtype):
+        import jax.numpy as jnp
+
+        n = nconv.astype(jnp.float32)
+        return jnp.round(n * 100.0 * rev_mean).astype(cents_dtype)
+
+    dist_mod.agg_cost_cents = det_agg_cost
+    dist_mod.rev_sum_cents = det_rev_sum
+
+
+def patch_resolve_w(w: int):
+    """Override gate_resolve_w without recompiling a new config — lets one
+    process A/B resolve-round counts back-to-back (the tunnel's service
+    health drifts between processes, so only within-process comparisons
+    are trustworthy; bracket with a repeated 'full')."""
+    import adcraft_tpu.step as step_mod
+
+    orig = getattr(step_mod, "_GATE_TRUE_ORIG", None)
+    if orig is None:
+        orig = step_mod._gate_keywords_lazy_agg
+        step_mod._GATE_TRUE_ORIG = orig
+
+    def gate(b0, br, sf, lite, ncl, resolve_fn, max_iter, resolve_w=1):
+        return orig(b0, br, sf, lite, ncl, resolve_fn, max_iter, w)
+
+    step_mod._gate_keywords_lazy_agg = gate
+
+
 def patch_nobinom_agg():
     """Inversion binomials -> deterministic round(n*p) (timing only)."""
     from adcraft_tpu import distributions as dist_mod
@@ -253,32 +302,70 @@ def patch_nobinom_agg():
     dist_mod.binomial_inv = det_binomial_inv
 
 
+def _apply(part):
+    if part.startswith("full"):  # "full", "full2", ... re-time unpatched
+        pass
+    elif part.startswith("resolvew"):
+        patch_resolve_w(int(part[len("resolvew"):]))
+    elif part == "fixed4":
+        patch_fixed4()
+    elif part == "nogate":
+        patch_nogate()
+    elif part == "nobinom":
+        patch_nogate()
+        patch_nobinom()
+    elif part == "linearcost":
+        patch_linearcost()
+    elif part == "nocost":
+        patch_nocostdraws()
+    elif part == "nomoments":
+        patch_nomoments()
+    elif part == "nogate_agg":
+        patch_nogate_agg()
+    elif part == "nobinom_agg":
+        patch_nobinom_agg()
+    elif part == "noresolve_agg":
+        patch_noresolve_agg()
+    elif part == "nodraws_agg":
+        patch_nodraws_agg()
+    elif part.startswith("maxiter"):
+        patch_maxiter_agg(int(part[len("maxiter"):]))
+    else:
+        raise SystemExit(f"unknown variant {part}")
+
+
+def _snapshot():
+    """Pristine copies of every patchable site, so variants don't stack
+    across the run loop (a 'maxiter4' after a 'maxiter8' must not compose
+    into min(4, 8)). Composition within one variant is spelled explicitly
+    with '+': e.g. 'resolvew16+maxiter1'."""
+    import adcraft_tpu.auction as auction_mod
+    import adcraft_tpu.step as step_mod
+    from adcraft_tpu import distributions as dist_mod
+
+    return {
+        (step_mod, "_gate_keywords_lazy_agg"): step_mod._gate_keywords_lazy_agg,
+        (step_mod, "_gate_keywords_lazy"): step_mod._gate_keywords_lazy,
+        (step_mod, "_gate_keywords_jacobi"): step_mod._gate_keywords_jacobi,
+        (dist_mod, "binomial"): dist_mod.binomial,
+        (dist_mod, "binomial_inv"): dist_mod.binomial_inv,
+        (dist_mod, "truncated_laplace"): dist_mod.truncated_laplace,
+        (dist_mod, "single_cost_cent_moments"): dist_mod.single_cost_cent_moments,
+        (dist_mod, "agg_cost_cents"): dist_mod.agg_cost_cents,
+        (dist_mod, "rev_sum_cents"): dist_mod.rev_sum_cents,
+        (auction_mod.dist, "binomial"): dist_mod.binomial,
+    }
+
+
 if __name__ == "__main__":
     variants = sys.argv[1:] or ["full", "fixed4", "nogate", "nobinom"]
+    pristine = _snapshot()
     for v in variants:
-        if v == "full":
-            pass
-        elif v == "fixed4":
-            patch_fixed4()
-        elif v == "nogate":
-            patch_nogate()
-        elif v == "nobinom":
-            patch_nogate()
-            patch_nobinom()
-        elif v == "linearcost":
-            patch_linearcost()
-        elif v == "nocost":
-            patch_nocostdraws()
-        elif v == "nomoments":
-            patch_nomoments()
-        elif v == "nogate_agg":
-            patch_nogate_agg()
-        elif v == "nobinom_agg":
-            patch_nobinom_agg()
-        elif v == "noresolve_agg":
-            patch_noresolve_agg()
-        elif v.startswith("maxiter"):
-            patch_maxiter_agg(int(v[len("maxiter"):]))
-        else:
-            raise SystemExit(f"unknown variant {v}")
+        for (mod, name), fn in pristine.items():
+            setattr(mod, name, fn)
+        import adcraft_tpu.step as _sm
+
+        _sm._GATE_TRUE_ORIG = None
+        for part in v.split("+"):
+            _apply(part)
         time_step(v)

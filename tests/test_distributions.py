@@ -382,3 +382,25 @@ def test_cost_create_deci_moments_match_sampler():
         assert float(cmax) == 4400.0
         np.testing.assert_allclose(float(mu), draws.mean(), rtol=5e-3, atol=2.0)
         np.testing.assert_allclose(float(sig), draws.std(), rtol=2e-2, atol=2.0)
+
+
+@pytest.mark.unit
+def test_single_cost_cent_moments_closed_matches_grid():
+    """The closed-form geometric-series moments must reproduce the
+    exact grid sums across the (bid, loc, scale) envelope, including
+    loc above/below the win threshold and negative loc (|Laplace|
+    symmetry)."""
+    rng = np.random.default_rng(7)
+    bids, locs, scales = [], [], []
+    for _ in range(200):
+        bids.append(round(float(rng.uniform(0.02, 3.0)), 2))
+        locs.append(float(rng.uniform(-0.5, 2.8)))
+        scales.append(float(rng.uniform(0.02, 0.8)))
+    bids = jnp.asarray(bids, jnp.float32)
+    locs = jnp.asarray(locs, jnp.float32)
+    scales = jnp.asarray(scales, jnp.float32)
+    mg, sg, cg = dist.single_cost_cent_moments(bids, locs, scales, 304)
+    mc, sc, cc = dist.single_cost_cent_moments_closed(bids, locs, scales)
+    np.testing.assert_array_equal(np.asarray(cg), np.asarray(cc))
+    np.testing.assert_allclose(np.asarray(mc), np.asarray(mg), rtol=5e-3, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(sc), np.asarray(sg), rtol=1e-2, atol=5e-2)
