@@ -270,6 +270,23 @@ def patch_nodraws_agg():
     dist_mod.rev_sum_cents = det_rev_sum
 
 
+def patch_noimp():
+    """Hoisted impression-ladder draw -> deterministic round(n*p) (timing
+    only) — isolates the tier-1 imp CDF-ladder build + compare."""
+    from adcraft_tpu import distributions as dist_mod
+
+    def det_from_cdf(key, ladder, bits=32):
+        cdf, flip, ni = ladder
+        nmax = cdf.shape[0] - 1
+        u = jnp.full(cdf.shape[1:], 0.5, jnp.float32)
+        cnt = jnp.sum((cdf[:nmax] < u[None]).astype(jnp.int32), axis=0,
+                      dtype=jnp.int32)
+        cnt = jnp.clip(cnt, 0, ni)
+        return jnp.where(flip, ni - cnt, cnt).astype(jnp.int32)
+
+    dist_mod.binomial_inv_from_cdf = det_from_cdf
+
+
 def patch_resolve_w(w: int):
     """Override gate_resolve_w without recompiling a new config — lets one
     process A/B resolve-round counts back-to-back (the tunnel's service
@@ -328,6 +345,8 @@ def _apply(part):
         patch_noresolve_agg()
     elif part == "nodraws_agg":
         patch_nodraws_agg()
+    elif part == "noimp":
+        patch_noimp()
     elif part.startswith("maxiter"):
         patch_maxiter_agg(int(part[len("maxiter"):]))
     else:
@@ -352,6 +371,7 @@ def _snapshot():
         (dist_mod, "truncated_laplace"): dist_mod.truncated_laplace,
         (dist_mod, "single_cost_cent_moments"): dist_mod.single_cost_cent_moments,
         (dist_mod, "agg_cost_cents"): dist_mod.agg_cost_cents,
+        (dist_mod, "binomial_inv_from_cdf"): dist_mod.binomial_inv_from_cdf,
         (dist_mod, "rev_sum_cents"): dist_mod.rev_sum_cents,
         (auction_mod.dist, "binomial"): dist_mod.binomial,
     }
