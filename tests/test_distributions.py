@@ -404,3 +404,23 @@ def test_single_cost_cent_moments_closed_matches_grid():
     np.testing.assert_array_equal(np.asarray(cg), np.asarray(cc))
     np.testing.assert_allclose(np.asarray(mc), np.asarray(mg), rtol=5e-3, atol=2e-2)
     np.testing.assert_allclose(np.asarray(sc), np.asarray(sg), rtol=1e-2, atol=5e-2)
+
+
+@pytest.mark.unit
+def test_binomial_inv_agrees_with_hoisted_ladder(key):
+    """The fused unrolled walk (binomial_inv) and the materialized
+    ladder path (binomial_cdf + binomial_inv_from_cdf) consume the same
+    uniform and walk the same recurrence; counts must agree everywhere
+    except a vanishing fraction of exact f32 CDF ties (documented
+    O(n*eps) tolerance)."""
+    rng = np.random.default_rng(13)
+    n = jnp.asarray(rng.integers(0, 25, 50_000), jnp.float32)
+    p = jnp.asarray(rng.uniform(0.01, 0.99, 50_000), jnp.float32)
+    for bits in (16, 32):
+        a = np.asarray(dist.binomial_inv(key, n, p, nmax=24, bits=bits))
+        ladder = dist.binomial_cdf(n, p, 24)
+        b = np.asarray(dist.binomial_inv_from_cdf(key, ladder, bits=bits))
+        mismatch = np.mean(a != b)
+        assert mismatch < 1e-3, (bits, mismatch)
+        # and any mismatch is a +-1 tie flip, never structural
+        assert np.max(np.abs(a - b)) <= 1, bits
