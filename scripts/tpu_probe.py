@@ -270,6 +270,19 @@ def patch_nodraws_agg():
     dist_mod.rev_sum_cents = det_rev_sum
 
 
+def patch_nodrift():
+    """Non-stationarity drift -> identity (timing only) — isolates
+    update_keywords' share of the env-step shell."""
+    import adcraft_tpu.step as step_mod
+    import adcraft_tpu.env as env_mod
+
+    def ident(cfg, key, kw):
+        return kw
+
+    step_mod.update_keywords = ident
+    env_mod.update_keywords = ident
+
+
 def patch_noimp():
     """Hoisted impression-ladder draw -> deterministic round(n*p) (timing
     only) — isolates the tier-1 imp CDF-ladder build + compare."""
@@ -347,6 +360,8 @@ def _apply(part):
         patch_nodraws_agg()
     elif part == "noimp":
         patch_noimp()
+    elif part == "nodrift":
+        patch_nodrift()
     elif part.startswith("maxiter"):
         patch_maxiter_agg(int(part[len("maxiter"):]))
     else:
@@ -359,10 +374,13 @@ def _snapshot():
     into min(4, 8)). Composition within one variant is spelled explicitly
     with '+': e.g. 'resolvew16+maxiter1'."""
     import adcraft_tpu.auction as auction_mod
+    import adcraft_tpu.env as env_mod
     import adcraft_tpu.step as step_mod
     from adcraft_tpu import distributions as dist_mod
 
     return {
+        (step_mod, "update_keywords"): step_mod.update_keywords,
+        (env_mod, "update_keywords"): env_mod.update_keywords,
         (step_mod, "_gate_keywords_lazy_agg"): step_mod._gate_keywords_lazy_agg,
         (step_mod, "_gate_keywords_lazy"): step_mod._gate_keywords_lazy,
         (step_mod, "_gate_keywords_jacobi"): step_mod._gate_keywords_jacobi,
