@@ -425,8 +425,11 @@ def generic_cost_cent_moments(bid: Array, grid: int):
     mu_r = s / 4.0 + bid / 2.0
     sig_r = 1e-10 + s / 6.0
     shape = bid.shape
-    i = jnp.arange(grid - 1, dtype=jnp.float32)
-    ii = i.reshape((grid - 1,) + (1,) * len(shape))
+    # sum all `grid` cells i = 0..grid-1 so the top cell cmax = grid is
+    # covered at bid == grid/100 (tail terms above cmax are exactly zero,
+    # so the extra cell is free for smaller bids)
+    i = jnp.arange(grid, dtype=jnp.float32)
+    ii = i.reshape((grid,) + (1,) * len(shape))
     # G_i = P(X <= i cents) = Phi((min((i+.5)/100, b) - mu)/sigma); edges
     # at/above b saturate to 1 and contribute zero tail mass
     e = jnp.minimum((ii + 0.5) / 100.0, bid)

@@ -418,8 +418,8 @@ def _gate_keywords_lazy_agg(
     lite_decided_static = n_clicks <= L  # all relevant lanes are in the table
 
     def classify(spend, p, fixed, bres):
-        """One bulk class pass: returns updated (spend, p), the bad mask
-        and the start budgets B the classes were evaluated against."""
+        """One bulk class pass: returns updated (spend, p) and the bad
+        mask (cells neither full, cached-resolved, nor lite-decided)."""
         excl = jnp.concatenate([zero[None], jnp.cumsum(spend)[:-1]])
         B = budget0 - excl
         # class order matters: scan-agg checks FULL first, so a cached

@@ -192,15 +192,31 @@ def patch_nocostdraws():
 
 
 def patch_nomoments():
-    """Replace the exact cent-moment grid with constants (timing only)."""
+    """Replace the exact cent-moment computations with constants (timing
+    only). Patches BOTH the grid and the closed-form implicit moments —
+    the bench path calls the closed form (step.py) — plus the explicit
+    grid moments, so the variant ablates whichever one the config uses."""
     from adcraft_tpu import distributions as dist_mod
 
-    def const_moments(bid, loc, scale, grid):
+    def _const(bid):
         bid = jnp.asarray(bid, jnp.float32)
         one = jnp.ones_like(bid)
-        return 47.5 * one, 23.8 * one, jnp.maximum(jnp.round(bid * 100.0) - 1.0, 0.0)
+        return 47.5 * one, 23.8 * one, jnp.maximum(
+            jnp.round(bid * 100.0) - 1.0, 0.0
+        )
+
+    def const_moments(bid, loc, scale, grid):
+        return _const(bid)
+
+    def const_moments_closed(bid, loc, scale):
+        return _const(bid)
+
+    def const_moments_generic(bid, grid):
+        return _const(bid)
 
     dist_mod.single_cost_cent_moments = const_moments
+    dist_mod.single_cost_cent_moments_closed = const_moments_closed
+    dist_mod.generic_cost_cent_moments = const_moments_generic
 
 
 def patch_nogate_agg():
@@ -388,6 +404,10 @@ def _snapshot():
         (dist_mod, "binomial_inv"): dist_mod.binomial_inv,
         (dist_mod, "truncated_laplace"): dist_mod.truncated_laplace,
         (dist_mod, "single_cost_cent_moments"): dist_mod.single_cost_cent_moments,
+        (dist_mod, "single_cost_cent_moments_closed"):
+            dist_mod.single_cost_cent_moments_closed,
+        (dist_mod, "generic_cost_cent_moments"):
+            dist_mod.generic_cost_cent_moments,
         (dist_mod, "agg_cost_cents"): dist_mod.agg_cost_cents,
         (dist_mod, "binomial_inv_from_cdf"): dist_mod.binomial_inv_from_cdf,
         (dist_mod, "rev_sum_cents"): dist_mod.rev_sum_cents,
