@@ -14,19 +14,13 @@ minibatch reuse.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
-import jax.numpy as jnp
-import optax
 
-from adcraft_tpu.agents.networks import GaussianPolicy, ValueNet, flatten_obs
 from adcraft_tpu.agents.ppo import (
     PPOConfig,
     PPOTrainer,
-    TrainState,
-    Transition,
-    _gaussian_log_prob,
 )
 from adcraft_tpu.config import EnvConfig
 from adcraft_tpu.quantiles import QuantileTable

@@ -13,7 +13,6 @@ XLA inserting the gradient psums (see adcraft_tpu.parallel).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -21,7 +20,7 @@ import jax.numpy as jnp
 import optax
 
 from adcraft_tpu.agents.networks import GaussianPolicy, ValueNet, flatten_obs
-from adcraft_tpu.config import EnvConfig, KeywordKind
+from adcraft_tpu.config import EnvConfig
 from adcraft_tpu.env import EnvState, env_reset, env_step
 from adcraft_tpu.quantiles import QuantileTable
 

@@ -10,7 +10,7 @@ whole training run (SURVEY.md §5).
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np

@@ -14,7 +14,6 @@ Reference semantics: ``BiddingSimulation.step/reset``
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, NamedTuple, Optional
 
 import jax

@@ -15,7 +15,6 @@ import time
 from typing import Dict
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from adcraft_tpu.config import EnvConfig, KeywordKind

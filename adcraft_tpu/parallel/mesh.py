@@ -21,7 +21,6 @@ chip or 64.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
@@ -30,7 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from adcraft_tpu.config import EnvConfig
-from adcraft_tpu.env import EnvState, TimeStep, batch_keys, env_reset, env_step
+from adcraft_tpu.env import EnvState, batch_keys, env_reset, env_step
 from adcraft_tpu.quantiles import QuantileTable
 
 Array = jax.Array

@@ -13,8 +13,7 @@ draw across the triple (quantiles_to_keywords.py:13-28).
 from __future__ import annotations
 
 import dataclasses
-from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ import numpy as np
 import pytest
 
 from adcraft_tpu.config import CompetitorModel, EnvConfig, KeywordKind
-from adcraft_tpu.env import VectorBiddingEnv, env_reset, env_step
+from adcraft_tpu.env import env_reset, env_step
 from adcraft_tpu.keywords import make_keyword_state
 from adcraft_tpu.oracle import NumpyOracleEnv
 from adcraft_tpu.oracle.numpy_env import OracleKeyword, nth_price_auction_numpy

@@ -1,7 +1,6 @@
 """PPO training smoke tests (replaces the reference's RL notebook checks)."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
