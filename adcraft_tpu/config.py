@@ -172,7 +172,15 @@ class EnvConfig:
     #           -normal moments + cent-quantization variance), rounded to
     #           cents — exact for rev_std == 0, CLT-approximate otherwise
     #           (PARITY.md "Aggregate revenue sampling"). Removes the
-    #           entire (M, K) revenue table. Used by bench.py.
+    #           entire (M, K) revenue table.
+    #   "day"   ONE aggregate draw per keyword per DAY from the day's
+    #           total conversions. Per-(sub-timestep, keyword) revenue is
+    #           never observed (only day sums reach observations /
+    #           metrics), so this differs from "sum" only in per-cell
+    #           cent rounding (T rounded normals vs one; variance differs
+    #           by (T-1)/12 cent^2 — PARITY.md "Aggregate revenue
+    #           sampling"). Removes the whole (T, K) revenue-draw grid;
+    #           used by bench.py.
     rev_sampling: str = "lanes"
 
     # How per-click costs are sampled and budget-gated:
@@ -198,16 +206,23 @@ class EnvConfig:
     #           closed-form moments of the pool max). Used by bench.py.
     cost_sampling: str = "lanes"
 
-    # Classify+resolve rounds per lazy-agg while-loop iteration: each
-    # round re-evaluates the bulk classes against the budgets updated by
-    # the previous round's resolution and lane-materializes the first
-    # budget-partial ("deep") cell. Budget-decay chains expose one deep
-    # cell per classification, so W rounds shrink the LOCKSTEP iteration
-    # count ~W-fold; under vmap the batch pays the worst env's iteration
-    # count, and the fixed per-iteration overhead — not the classify
-    # FLOPs — dominates gate time on the TPU (PLAN.md "Measured perf
-    # (round 4)"). Bit-identical for any W (tests cross-check).
-    gate_resolve_w: int = 1
+    # Straggler compaction for the BATCHED lazy-agg gate (a
+    # jax.custom_batching rule in step._make_agg_gate): under vmap the
+    # batch pays the worst env's lockstep while-loop iteration count at
+    # ~O(E * N) per iteration; the compacted schedule runs warm init +
+    # ``gate_compact_phase_a`` full-batch iterations (default 0 — the
+    # measured chunk4 straggler profile has most calls well under the
+    # cap immediately, and full-batch iterations are exactly the cost
+    # being avoided; scripts/gate_stats.py), then gathers the
+    # still-unconverged envs into a ``gate_compact_cap``-row buffer
+    # (0 = auto: max(64, E // 4), sized so only the budget-break chunk
+    # — where ~95% of envs run real chains — falls back) and finishes
+    # only those. Falls back to the full-batch loop at runtime when
+    # stragglers exceed the cap, so results are bit-identical in every
+    # mode ("off" = round-4 behavior; tests cross-check).
+    gate_compact: str = "auto"
+    gate_compact_phase_a: int = 0
+    gate_compact_cap: int = 0
 
     # Cent-grid size for the exact per-click cost moments under
     # cost_sampling="agg": moments are exact for bids <= agg_cost_grid/100
@@ -276,8 +291,8 @@ class EnvConfig:
             raise ValueError("max_volume must be >= 1")
         if self.conv_sampling not in ("lanes", "counts"):
             raise ValueError("conv_sampling must be 'lanes' or 'counts'")
-        if self.rev_sampling not in ("lanes", "sum"):
-            raise ValueError("rev_sampling must be 'lanes' or 'sum'")
+        if self.rev_sampling not in ("lanes", "sum", "day"):
+            raise ValueError("rev_sampling must be 'lanes', 'sum' or 'day'")
         if self.cost_sampling not in ("lanes", "agg"):
             raise ValueError("cost_sampling must be 'lanes' or 'agg'")
         if self.cost_sampling == "agg" and (
@@ -299,8 +314,12 @@ class EnvConfig:
             raise ValueError("gate_scope='chunk' requires cost_sampling='agg'")
         if self.gate_chunk_t < 1:
             raise ValueError("gate_chunk_t must be >= 1")
-        if self.gate_resolve_w < 1:
-            raise ValueError("gate_resolve_w must be >= 1")
+        if self.gate_compact not in ("auto", "off"):
+            raise ValueError("gate_compact must be 'auto' or 'off'")
+        if self.gate_compact_phase_a < 0:
+            raise ValueError("gate_compact_phase_a must be >= 0")
+        if self.gate_compact_cap < 0:
+            raise ValueError("gate_compact_cap must be >= 0")
         if self.lane_bits not in (16, 32):
             raise ValueError("lane_bits must be 16 or 32")
         if self.binomial_sampler not in ("exact", "inversion"):

@@ -193,6 +193,57 @@ def env_step(
     return new_state, ts
 
 
+def env_rollout(
+    cfg: EnvConfig,
+    state: EnvState,
+    bids: Array,
+    num_days: int,
+    budget: Optional[Array] = None,
+):
+    """Run ``num_days`` consecutive days inside ONE compiled program.
+
+    A ``lax.scan`` over ``env_step`` — the shape RL rollouts already use
+    (adcraft_tpu.agents.ppo.PPOTrainer.rollout) and the dispatch-free way
+    to drive the env: a Python loop of day steps pays one host->device
+    dispatch per day (through the tunneled TPU backend that is multiple
+    ms per call), while this runs the whole rollout device-side.
+
+    ``bids`` is either a constant (K,) vector applied every day or a
+    per-day (num_days, K) schedule; ``budget`` likewise scalar or
+    (num_days,). Returns (final_state, TimeStep-stacked-over-days).
+    Per-keyword day outcomes are bit-identical to ``num_days``
+    sequential ``env_step`` calls (same key tree, exact integer money
+    paths); the scalar reward / cumulative-profit K-sums can differ in
+    the last float32 ulp because XLA may pick a different reduction
+    order inside a different program.
+    """
+    bids = jnp.asarray(bids)
+    xs_bids = (
+        bids
+        if bids.ndim == 2 and bids.shape[0] == num_days
+        else jnp.broadcast_to(bids, (num_days,) + bids.shape)
+    )
+    if budget is None:
+
+        def body_nb(st, b):
+            return env_step(cfg, st, b, None)
+
+        return jax.lax.scan(body_nb, state, xs_bids)
+
+    bud = jnp.asarray(budget)
+    xs_bud = (
+        bud
+        if bud.ndim >= 1 and bud.shape[0] == num_days
+        else jnp.broadcast_to(bud, (num_days,) + bud.shape)
+    )
+
+    def body(st, xs):
+        b, bd = xs
+        return env_step(cfg, st, b, bd)
+
+    return jax.lax.scan(body, state, (xs_bids, xs_bud))
+
+
 def env_autoreset_step(
     cfg: EnvConfig,
     state: EnvState,
@@ -352,6 +403,7 @@ class VectorBiddingEnv:
             return env_step(cfg, state, bids, budget)
 
         self._reset = jax.jit(jax.vmap(_reset_one))
+        self._rollout_cache = {}
         if cfg.day_kernel == "pallas":
             self._step = jax.jit(
                 lambda s, bids, budget: vector_env_step_pallas(
@@ -382,3 +434,45 @@ class VectorBiddingEnv:
         if budget is None:
             return self._step_nobudget(state, bids)
         return self._step(state, bids, budget)
+
+    def rollout(
+        self,
+        state: EnvState,
+        bids: Array,
+        num_days: int,
+        budget: Optional[Array] = None,
+    ):
+        """``num_days`` lockstep days in ONE device program (env_rollout).
+
+        bids: (E, K) constant or (num_days, E, K) schedule; budget: (E,)
+        or (num_days, E). Returns (state, TimeStep stacked over a leading
+        (num_days,) axis). Matches ``num_days`` ``step`` calls (see
+        env_rollout on last-ulp reward sums) but pays a single dispatch —
+        the bench/RL hot path (the pallas day kernel has no rollout
+        variant; use ``step``).
+        """
+        if self.cfg.day_kernel == "pallas":
+            raise NotImplementedError(
+                "rollout() drives the XLA day kernel; step() the pallas one"
+            )
+        key = ("rollout", num_days, budget is None)
+        fn = self._rollout_cache.get(key)
+        if fn is None:
+            cfg = self.cfg
+
+            def _roll_one(state, bids, budget):
+                return env_rollout(cfg, state, bids, num_days, budget)
+
+            def _roll_one_nb(state, bids):
+                return env_rollout(cfg, state, bids, num_days, None)
+
+            if budget is None:
+                fn = jax.jit(jax.vmap(_roll_one_nb, in_axes=(0, -2), out_axes=(0, 1)))
+            else:
+                fn = jax.jit(
+                    jax.vmap(_roll_one, in_axes=(0, -2, -1), out_axes=(0, 1))
+                )
+            self._rollout_cache[key] = fn
+        if budget is None:
+            return fn(state, bids)
+        return fn(state, bids, budget)

@@ -89,19 +89,51 @@ def main() -> None:
         "restores the FULL TrainState (params, optimizer, env batch, key)",
     )
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--lr", type=float, default=PPOConfig.lr)
+    ap.add_argument("--rollout-days", type=int, default=PPOConfig.rollout_days)
+    ap.add_argument(
+        "--out",
+        default=None,
+        help="write the full training curve + a NaiveZeroMargin baseline "
+        "comparison to this JSON file (the committed artifact of "
+        "train_agent.ipynb cells 8/12/14's saved outputs)",
+    )
+    ap.add_argument(
+        "--exact-env",
+        action="store_true",
+        help="use the injected-parity sampling modes (lanes/exact) instead "
+        "of the default distribution-identical fast modes "
+        "(agg costs, count conversions, aggregate revenue)",
+    )
     args = ap.parse_args()
 
     env_config = ENV_CONFIGS[args.config]
     kc = env_config["keyword_config"]
     k = args.num_keywords or env_config["num_keywords"]
+    fast = (
+        {}
+        if args.exact_env
+        else dict(
+            cost_sampling="agg",
+            conv_sampling="counts",
+            rev_sampling="day",
+            lane_bits=16,
+            binomial_sampler="inversion",
+            gate_scope="chunk",
+        )
+    )
     cfg = EnvConfig(
         num_keywords=k,
         max_days=env_config["max_days"],
         kind=KeywordKind.IMPLICIT,
         max_volume=int(max(32, 4 * kc["mean_volume"] + 64)),
+        **fast,
     )
     trainer = PPOTrainer(
-        cfg, args.num_envs, PPOConfig(), table=experiment_table(env_config)
+        cfg,
+        args.num_envs,
+        PPOConfig(lr=args.lr, rollout_days=args.rollout_days),
+        table=experiment_table(env_config),
     )
     state = trainer.init(jax.random.PRNGKey(args.seed))
     if args.restore:
@@ -109,6 +141,7 @@ def main() -> None:
 
         state = restore_checkpoint(args.restore, state)
         print(json.dumps({"restored": args.restore}), flush=True)
+    curve = []
     for step in range(args.steps):
         state, metrics = trainer.train(state, 1)
         line = {"step": step, **{m: float(v) for m, v in metrics.items()}}
@@ -118,7 +151,46 @@ def main() -> None:
                     trainer, state.params, jax.random.PRNGKey(1000 + step)
                 )
             )
+        curve.append(line)
         print(json.dumps(line), flush=True)
+
+    if args.out:
+        # the trained policy vs the NaiveZeroMargin baseline on the SAME
+        # metric protocol — the repo analogue of train_agent.ipynb's
+        # saved cell outputs (trained-agent AKNCP/NCP vs the heatmap
+        # baseline agent)
+        from adcraft_tpu.experiments.harness import run_episode_batch
+
+        final_eval = evaluate(
+            trainer, state.params, jax.random.PRNGKey(999), num_envs=32
+        )
+        zm = run_episode_batch(
+            cfg, trainer.table, env_seeds=(5, 6, 7, 8),
+            agent_seeds=(0, 1), num_days=cfg.max_days,
+        )
+        ideal = zm["ideal_profits"]
+        zm_akncp = float(
+            np.mean(M.compute_AKNCP(zm["kw_profits"], ideal))
+        )
+        zm_ncp = float(np.mean(M.compute_NCP(zm["kw_profits"], ideal)))
+        artifact = {
+            "config": args.config,
+            "num_envs": args.num_envs,
+            "num_keywords": k,
+            "steps": args.steps,
+            "lr": args.lr,
+            "rollout_days": args.rollout_days,
+            "seed": args.seed,
+            "curve": curve,
+            "final": final_eval,
+            "baseline_zero_margin": {"AKNCP": zm_akncp, "NCP": zm_ncp},
+            "backend": jax.default_backend(),
+        }
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(json.dumps({"out": args.out, "final": final_eval,
+                          "baseline_zero_margin": artifact[
+                              "baseline_zero_margin"]}), flush=True)
 
     if args.checkpoint:
         from adcraft_tpu.checkpoint import save_checkpoint

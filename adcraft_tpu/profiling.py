@@ -100,8 +100,14 @@ def prng_words_per_env_day(cfg, num_keywords: Optional[int] = None):
         words += lanes * cost_half
     # conversion draws: per-lane flags or one inversion binomial per cell
     words += lanes if cfg.conv_sampling == "lanes" else t * k * half
-    # revenue draws: per-lane normals or one aggregate normal per cell
-    words += lanes if cfg.rev_sampling == "lanes" else t * k
+    # revenue draws: per-lane normals, one aggregate normal per cell
+    # ("sum"), or one per keyword per day ("day")
+    if cfg.rev_sampling == "lanes":
+        words += lanes
+    elif cfg.rev_sampling == "sum":
+        words += t * k
+    else:  # "day"
+        words += k
     # impressions + clicks inversion binomials (one uniform each)
     words += 2 * t * k * half
     return words

@@ -42,6 +42,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.custom_batching import custom_vmap
 
 from adcraft_tpu import distributions as dist
 from adcraft_tpu.auction import cell_binomial_fn, run_cell_auctions
@@ -336,7 +337,6 @@ def _gate_keywords_lazy_agg(
     n_clicks: Array,
     resolve_fn,
     max_iter: int,
-    resolve_w: int = 1,
 ) -> Tuple[Tuple[Array, Array], Tuple[Array, Array, Array]]:
     """Lazy budget gate over AGGREGATE per-cell spend draws.
 
@@ -369,24 +369,14 @@ def _gate_keywords_lazy_agg(
     37k env-steps/s/chip regression from one such extra O(w) term;
     PLAN.md "Measured perf (round 3)").
 
-    ``resolve_w`` runs W classify+resolve ROUNDS per while-loop
-    iteration (unrolled at trace time, no inner scan): each round
-    re-evaluates the bulk classes against budgets updated by the
-    previous round's resolution and deep-resolves the first bad cell.
-    This shortens the LOCKSTEP iteration count ~W-fold for budget-decay
-    chains, whose defining property is that each resolution exposes the
-    next bad cell only after budgets settle (measured: a rank-mask
-    multi-resolution that picks W bad cells from ONE classification
-    barely shortens chains — scripts/gate_stats.py — because a sweep
-    typically exposes exactly one bad cell; and on the TPU the cost is
-    dominated by the ~0.4 ms fixed overhead of a vmapped while-loop
-    iteration, not by the classify FLOPs, so trading W cheap fused
-    rounds for one lockstep iteration is the right exchange — PLAN.md
-    "Measured perf (round 4)"). Exactness: ``changed`` accumulates over
-    all W rounds, so the loop exits via ``~changed`` only when round 1
-    was already a no-op — a genuine fixed point of the single-sweep map;
-    the break-early exit re-checks its invariant on the LAST round's
-    state only.
+    (Multi-round resolution per iteration — W classify+resolve rounds,
+    "gate_resolve_w" — was built and MEASURED DEAD on the TPU in round
+    4: the deep-resolve RNG chain makes a round about as expensive as a
+    lockstep iteration, so W4/W8/W16 all regressed vs W1 (16.9/39.3/
+    58.5 vs 14.2 ms/step); a rank-mask multi-resolution was equally
+    dead because budget-decay chains expose exactly one new deep cell
+    per classification. PLAN.md "Measured perf (round 4)" records the
+    numbers; the knob was removed in round 5.)
 
     Before the while loop one resolve-free classification pass runs
     UNROLLED (the "warm init"): with zero initial spends every cell sees
@@ -406,132 +396,164 @@ def _gate_keywords_lazy_agg(
     sequential ``_gate_keywords_scan_agg`` cross-validation gate
     (tests/test_step.py cross-checks all scopes and resolve widths).
     """
-    n = s_full.shape[0]
+    state = _lazy_agg_warm(budget0, broken0, s_full, lite_costs, n_clicks)
+    state = _lazy_agg_loop(
+        budget0, s_full, lite_costs, n_clicks, resolve_fn, max_iter, state
+    )
+    if _GATE_STATS_HOOK is not None:
+        _GATE_STATS_HOOK(state[5])
+    return _lazy_agg_epilogue(budget0, broken0, state[0], state[1])
+
+
+def _lazy_agg_classify(budget0, s_full, n_clicks, lite_costs, spend, p, fixed, bres):
+    """One bulk class pass of the lazy-agg gate: returns updated
+    (spend, p) and the bad mask (cells neither full, cached-resolved,
+    nor lite-decided)."""
     L = lite_costs.shape[0]
-    karange = jnp.arange(n)
     lane_l = jnp.arange(L)
     zero = jnp.zeros((), s_full.dtype)
-    W = max(1, resolve_w)
-    # (L, N) lite prefix — B-independent, computed once per gate call
+    # (L, N) lite prefix — B-independent; XLA CSEs it across the passes
+    # of one gate call
     lite_cum = jnp.cumsum(lite_costs, axis=0)
     lite_end = lite_cum[L - 1]
-    lite_decided_static = n_clicks <= L  # all relevant lanes are in the table
+    lite_decided_static = n_clicks <= L  # all relevant lanes in the table
 
-    def classify(spend, p, fixed, bres):
-        """One bulk class pass: returns updated (spend, p) and the bad
-        mask (cells neither full, cached-resolved, nor lite-decided)."""
-        excl = jnp.concatenate([zero[None], jnp.cumsum(spend)[:-1]])
-        B = budget0 - excl
-        # class order matters: scan-agg checks FULL first, so a cached
-        # deep resolution (okres) must never shadow a full-by-aggregate
-        # cell — resolutions are stored for budgets where the cell was
-        # bad (s_full > B), so okres and okfull are disjoint anyway
-        okfull = s_full <= B
-        okres = ~okfull & fixed & (bres == B)
-        # lite resolution: maximal affordable prefix within the lite
-        # lanes. ``okl`` is a PREFIX mask (cumsum nondecreasing, lane
-        # bound monotone), so the accepted spend is the masked cost sum —
-        # no gather.
-        okl = (lite_cum <= B[None, :]) & (lane_l[:, None] < n_clicks[None, :])
-        okl_i = okl.astype(jnp.int32)
-        p_lite = jnp.sum(okl_i, axis=0).astype(jnp.int32)
-        s_lite = jnp.sum(lite_costs * okl_i.astype(lite_costs.dtype), axis=0)
-        oklite = ~okfull & (lite_decided_static | (lite_end > B))
-        spend2 = jnp.where(
-            okfull, s_full, jnp.where(okres, spend, jnp.where(oklite, s_lite, spend))
-        )
-        p2 = jnp.where(
-            okfull, n_clicks, jnp.where(okres, p, jnp.where(oklite, p_lite, p))
-        )
-        bad = ~(okres | okfull | oklite)
-        return spend2, p2, bad
+    excl = jnp.concatenate([zero[None], jnp.cumsum(spend)[:-1]])
+    B = budget0 - excl
+    # class order matters: scan-agg checks FULL first, so a cached
+    # deep resolution (okres) must never shadow a full-by-aggregate
+    # cell — resolutions are stored for budgets where the cell was
+    # bad (s_full > B), so okres and okfull are disjoint anyway
+    okfull = s_full <= B
+    okres = ~okfull & fixed & (bres == B)
+    # lite resolution: maximal affordable prefix within the lite
+    # lanes. ``okl`` is a PREFIX mask (cumsum nondecreasing, lane
+    # bound monotone), so the accepted spend is the masked cost sum —
+    # no gather.
+    okl = (lite_cum <= B[None, :]) & (lane_l[:, None] < n_clicks[None, :])
+    okl_i = okl.astype(jnp.int32)
+    p_lite = jnp.sum(okl_i, axis=0).astype(jnp.int32)
+    s_lite = jnp.sum(lite_costs * okl_i.astype(lite_costs.dtype), axis=0)
+    oklite = ~okfull & (lite_decided_static | (lite_end > B))
+    spend2 = jnp.where(
+        okfull, s_full, jnp.where(okres, spend, jnp.where(oklite, s_lite, spend))
+    )
+    p2 = jnp.where(
+        okfull, n_clicks, jnp.where(okres, p, jnp.where(oklite, p_lite, p))
+    )
+    bad = ~(okres | okfull | oklite)
+    return spend2, p2, bad
 
-    def body(carry):
-        spend0_, p0_, fixed0_, bres0_, _done, it = carry
-        spend, p, fixed, bres = spend0_, p0_, fixed0_, bres0_
-        changed = jnp.asarray(False)
-        j = jnp.asarray(0, karange.dtype)
-        spend2 = spend
-        p2 = p
-        for _w in range(W):
-            spend2, p2, bad = classify(spend, p, fixed, bres)
-            j = jnp.min(jnp.where(bad, karange, n))
-            # deep-resolve the first bad cell against budgets recomputed
-            # from this round's classified spends. All cell-indexed
-            # reads go through the one-hot mask (never jnp.take /
-            # dynamic_slice with a traced index: under vmap those lower
-            # to per-env gathers, measured ~20-25 ms per sweep at 4096
-            # envs — PLAN.md "Measured perf (round 3)"). When no cell is
-            # bad the mask is all-false, the resolver runs on zero
-            # inputs and its output is discarded by the same mask.
-            hit = karange == j
-            excl = jnp.concatenate([zero[None], jnp.cumsum(spend2)[:-1]])
-            B = budget0 - excl
-            hot = hit.astype(B.dtype)
-            Bj = jnp.sum(B * hot)
-            nkj = jnp.sum(n_clicks * hit.astype(n_clicks.dtype))
-            pj, sj = resolve_fn(j, Bj, nkj, hit)
-            spend2 = jnp.where(hit, sj, spend2)
-            p2 = jnp.where(hit, pj, p2)
-            fixed2 = fixed | hit
-            bres2 = jnp.where(hit, Bj, bres)
-            changed = changed | (
-                jnp.any(spend2 != spend)
-                | jnp.any(p2 != p)
-                | jnp.any(fixed2 != fixed)
-                | jnp.any(bres2 != bres)
-            )
-            spend, p, fixed, bres = spend2, p2, fixed2, bres2
 
-        # exit checks on the LAST round's state: ~changed means even the
-        # FIRST round was a no-op (changed accumulates), i.e. a genuine
-        # fixed point; the second exit needs the pre-j prefix stable in
-        # the last round and a budget break strictly before j
-        stable_pre = ~jnp.any(((spend2 != spend0_) | (p2 != p0_)) & (karange < j))
-        b_path = budget0 - jnp.cumsum(spend2)
-        first_brk = jnp.min(jnp.where(b_path <= 0, karange, n))
-        done = ~changed | (stable_pre & (first_brk < j))
-        return spend, p, fixed, bres, done, it + 1
-
-    def cond(carry):
-        _s, _p, _f, _b, done, it = carry
-        return ~done & (it < max_iter)
-
-    # warm init: TWO resolve-free class passes outside the loop (pure
-    # bulk math, fused into the sampling phase by XLA — no lockstep
-    # iteration cost). Pass 1 classifies everything against B = budget0;
-    # pass 2 re-classifies against the resulting budget path AND
-    # evaluates the done-condition on it, so a gate whose budget never
-    # binds (or breaks early with a stable prefix) enters the while loop
-    # with done already True and runs ZERO iterations — under vmap this
-    # keeps quiet gate calls from paying the worst env's chain.
+def _lazy_agg_warm(budget0, broken0, s_full, lite_costs, n_clicks):
+    """Warm init: TWO resolve-free class passes outside the loop (pure
+    bulk math, fused into the sampling phase by XLA — no lockstep
+    iteration cost). Pass 1 classifies everything against B = budget0;
+    pass 2 re-classifies against the resulting budget path AND
+    evaluates the done-condition on it, so a gate whose budget never
+    binds (or breaks early with a stable prefix) enters the while loop
+    with done already True and runs ZERO iterations — under vmap this
+    keeps quiet gate calls from paying the worst env's chain, and under
+    the compacted batch gate it is what makes those envs skippable
+    entirely. Returns the full loop state tuple
+    (spend, p, fixed, bres, done, it) with broken0 folded into done and
+    the iteration counter at 2 (the two warm passes).
+    """
+    n = s_full.shape[0]
+    karange = jnp.arange(n)
     f0 = jnp.zeros((n,), bool)
     br0 = jnp.zeros((n,), s_full.dtype)
-    spend1, p1, _bad1 = classify(
-        jnp.zeros((n,), s_full.dtype), jnp.zeros((n,), jnp.int32), f0, br0
+    spend1, p1, _bad1 = _lazy_agg_classify(
+        budget0, s_full, n_clicks, lite_costs,
+        jnp.zeros((n,), s_full.dtype), jnp.zeros((n,), jnp.int32), f0, br0,
     )
-    spend2w, p2w, bad2 = classify(spend1, p1, f0, br0)
+    spend2w, p2w, bad2 = _lazy_agg_classify(
+        budget0, s_full, n_clicks, lite_costs, spend1, p1, f0, br0
+    )
     j2 = jnp.min(jnp.where(bad2, karange, n))
     changed2 = jnp.any(spend2w != spend1) | jnp.any(p2w != p1)
     stable2 = ~jnp.any(((spend2w != spend1) | (p2w != p1)) & (karange < j2))
     b_path2 = budget0 - jnp.cumsum(spend2w)
     brk2 = jnp.min(jnp.where(b_path2 <= 0, karange, n))
     done0 = (~changed2 & ~jnp.any(bad2)) | (stable2 & (brk2 < j2))
-    spend, p, _f, _b, _done, _it = lax.while_loop(
-        cond,
-        body,
-        (
-            spend2w,
-            p2w,
-            f0,
-            br0,
-            jnp.asarray(broken0) | done0,
-            jnp.asarray(2, jnp.int32),
-        ),
+    return (
+        spend2w,
+        p2w,
+        f0,
+        br0,
+        jnp.asarray(broken0) | done0,
+        jnp.asarray(2, jnp.int32),
     )
-    if _GATE_STATS_HOOK is not None:
-        _GATE_STATS_HOOK(_it)
-    # identical epilogue to the lazy/Jacobi gates
+
+
+def _lazy_agg_loop(
+    budget0, s_full, lite_costs, n_clicks, resolve_fn, max_iter, state
+):
+    """The lockstep classify+deep-resolve while loop.
+
+    ``state`` is the (spend, p, fixed, bres, done, it) tuple produced by
+    ``_lazy_agg_warm`` (or by a previous, iteration-capped call — the
+    compacted batch gate runs a bounded full-batch phase and RESUMES the
+    stragglers from their exact mid-loop state, cached deep resolutions
+    included). Returns the updated state; ``it`` counts warm passes +
+    loop iterations so per-env gate_stats records line up across
+    rounds."""
+    n = s_full.shape[0]
+    karange = jnp.arange(n)
+    zero = jnp.zeros((), s_full.dtype)
+
+    def body(carry):
+        spend, p, fixed, bres, _done, it = carry
+        spend2, p2, bad = _lazy_agg_classify(
+            budget0, s_full, n_clicks, lite_costs, spend, p, fixed, bres
+        )
+        j = jnp.min(jnp.where(bad, karange, n))
+        # deep-resolve the first bad cell against budgets recomputed
+        # from this round's classified spends. All cell-indexed
+        # reads go through the one-hot mask (never jnp.take /
+        # dynamic_slice with a traced index: under vmap those lower
+        # to per-env gathers, measured ~20-25 ms per sweep at 4096
+        # envs — PLAN.md "Measured perf (round 3)"). When no cell is
+        # bad the mask is all-false, the resolver runs on zero
+        # inputs and its output is discarded by the same mask.
+        hit = karange == j
+        excl = jnp.concatenate([zero[None], jnp.cumsum(spend2)[:-1]])
+        B = budget0 - excl
+        hot = hit.astype(B.dtype)
+        Bj = jnp.sum(B * hot)
+        nkj = jnp.sum(n_clicks * hit.astype(n_clicks.dtype))
+        pj, sj = resolve_fn(j, Bj, nkj, hit)
+        spend2 = jnp.where(hit, sj, spend2)
+        p2 = jnp.where(hit, pj, p2)
+        fixed2 = fixed | hit
+        bres2 = jnp.where(hit, Bj, bres)
+        changed = (
+            jnp.any(spend2 != spend)
+            | jnp.any(p2 != p)
+            | jnp.any(fixed2 != fixed)
+            | jnp.any(bres2 != bres)
+        )
+
+        # exit checks: ~changed means the sweep was a no-op, i.e. a
+        # genuine fixed point; the second exit needs the pre-j prefix
+        # stable this sweep and a budget break strictly before j
+        stable_pre = ~jnp.any(((spend2 != spend) | (p2 != p)) & (karange < j))
+        b_path = budget0 - jnp.cumsum(spend2)
+        first_brk = jnp.min(jnp.where(b_path <= 0, karange, n))
+        done = ~changed | (stable_pre & (first_brk < j))
+        return spend2, p2, fixed2, bres2, done, it + 1
+
+    def cond(carry):
+        _s, _p, _f, _b, done, it = carry
+        return ~done & (it < max_iter)
+
+    return lax.while_loop(cond, body, state)
+
+
+def _lazy_agg_epilogue(budget0, broken0, spend, p):
+    """Identical epilogue to the lazy/Jacobi gates: mask cells at/after
+    the first budget break, thread the final budget."""
+    zero = jnp.zeros((), spend.dtype)
     nb = budget0 - jnp.cumsum(spend)
     alive = jnp.cumprod((nb > 0).astype(jnp.int32))
     sim = ~broken0 & jnp.concatenate(
@@ -541,6 +563,144 @@ def _gate_keywords_lazy_agg(
     p = jnp.where(sim, p, 0)
     b_path = budget0 - jnp.cumsum(spend)
     return (b_path[-1], broken0 | jnp.any(b_path <= 0)), (p, spend, sim)
+
+
+def _make_agg_gate(
+    make_resolve,
+    gate_mode: str,
+    compact: bool,
+    phase_a: int,
+    cap: int,
+    min_batch: int = 64,
+):
+    """Build the callable for one agg gate call site, with the STRAGGLER
+    COMPACTION batching rule.
+
+    The returned function has the pure-array signature
+
+        gate(budget0, broken0, s_full, lite, n_clicks, t_base, k_cells,
+             *params) -> ((b, broken), (p, spend, sim))
+
+    where ``make_resolve(lite, t_base, k_cells, *params)`` builds the
+    deep-resolution closure from those same arrays (everything the
+    resolver touches is an explicit argument, so the function is
+    batchable with no captured per-env tracers).
+
+    Unbatched (or ``compact=False``, or the "scan" cross-validation
+    mode) it is exactly the round-4 gate. Under ``jax.vmap`` a
+    ``jax.custom_batching.custom_vmap`` rule replaces the lockstep
+    batched while loop with a three-phase schedule:
+
+      1. warm init for the whole batch (pure bulk math — fused);
+      2. ``phase_a`` full-batch lockstep iterations (quiet envs are
+         already done and cost nothing; most active envs finish here —
+         the budget-break chunk activates ~95% of envs but the median
+         env needs only a couple of sweeps, scripts/gate_stats.py);
+      3. the (usually few) still-unconverged envs are COMPACTED —
+         gathered into a ``cap``-row buffer, resumed from their exact
+         mid-loop state (cached deep resolutions included) to
+         convergence, and scattered back. Every lockstep iteration of
+         the deep tail then costs O(cap * N) instead of O(E * N) —
+         under vmap the batch pays the worst env's iteration count,
+         which round 4 measured at ~0.14 ms per iteration at (4096,
+         400) (PLAN.md "Measured perf (round 4)").
+
+    If more than ``cap`` envs are still unconverged, the whole batch
+    resumes lockstep (the round-4 behavior) — a runtime branch, so
+    correctness never depends on the cap. Per-env results are
+    bit-identical in all paths: a batched while loop freezes each row's
+    carry once that row's cond is false, so batch composition cannot
+    change any row's values.
+    """
+    from functools import partial
+
+    def impl(budget0, broken0, s_full, lite, n_clicks, t_base, k_cells, *params):
+        # literal operands can reach here as bare numpy wrappers through
+        # the custom_vmap machinery (observed under vmap-of-scan); make
+        # them jnp values before any operator touches them
+        budget0 = jnp.asarray(budget0)
+        broken0 = jnp.asarray(broken0)
+        t_base = jnp.asarray(t_base)
+        resolve = make_resolve(lite, t_base, k_cells, *params)
+        if gate_mode == "scan":
+            return _gate_keywords_scan_agg(
+                budget0, broken0, s_full, n_clicks, resolve
+            )
+        return _gate_keywords_lazy_agg(
+            budget0, broken0, s_full, lite, n_clicks, resolve,
+            max_iter=s_full.shape[0] + 2,
+        )
+
+    if gate_mode == "scan" or not compact:
+        return impl
+
+    gate = custom_vmap(impl)
+
+    @gate.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        out_batched = ((True, True), (True, True, True))
+        flat_batched = jax.tree.leaves(in_batched)
+
+        def plain(*a):
+            in_axes = tuple(0 if b else None for b in flat_batched)
+            return jax.vmap(impl, in_axes=in_axes)(*a)
+
+        if axis_size < min_batch:
+            return plain(*args), out_batched
+
+        def bc(x):
+            return jnp.broadcast_to(x, (axis_size,) + jnp.shape(x))
+
+        args = tuple(a if b else bc(a) for a, b in zip(args, flat_batched))
+        b0, br0, sf, lt, ncl, t_base, kc, *params = args
+        b0 = jnp.asarray(b0)
+        br0 = jnp.asarray(br0)
+        t_base = jnp.asarray(t_base)
+        n = sf.shape[1]
+        max_iter = n + 2
+
+        state = jax.vmap(_lazy_agg_warm)(b0, br0, sf, lt, ncl)
+        loop_args = (b0, sf, lt, ncl, t_base, kc) + tuple(params)
+
+        def loop_one(cap_it, state, b0, sf, lt, ncl, t_base, kc, *params):
+            resolve = make_resolve(lt, t_base, kc, *params)
+            return _lazy_agg_loop(
+                b0, sf, lt, ncl, resolve, cap_it, state
+            )
+
+        if phase_a > 0:
+            state = jax.vmap(
+                partial(loop_one, min(max_iter, 2 + phase_a))
+            )(state, *loop_args)
+
+        S = cap if cap > 0 else max(min_batch, axis_size // 4)
+        S = min(S, axis_size)
+        not_done = ~state[4]
+        n_strag = jnp.sum(not_done.astype(jnp.int32))
+        finish = jax.vmap(partial(loop_one, max_iter))
+
+        def run_full(state):
+            return finish(state, *loop_args)
+
+        def run_compact(state):
+            # the first S straggler rows; fill rows re-run an
+            # already-done env, whose frozen loop is a no-op, so
+            # duplicate scatters write back unchanged values
+            idx = jnp.nonzero(not_done, size=S, fill_value=0)[0]
+
+            def take(x):
+                return jax.tree.map(lambda a: a[idx], x)
+
+            sub = finish(take(state), *(take(a) for a in loop_args))
+            return jax.tree.map(lambda a, s: a.at[idx].set(s), state, sub)
+
+        state = lax.cond(n_strag <= S, run_compact, run_full, state)
+        if _GATE_STATS_HOOK is not None:
+            _GATE_STATS_HOOK(state[5])
+        outs = jax.vmap(_lazy_agg_epilogue)(b0, br0, state[0], state[1])
+        return outs, out_batched
+
+    return gate
 
 
 def _gate_keywords_scan_agg(
@@ -815,7 +975,7 @@ def simulate_day(
 
         bids_f = jnp.asarray(bids)
 
-        def _resolve_cell(t, k, lite_col, loc, scale, y0, B, nk, m):
+        def _resolve_cell(kc, t, k, lite_col, loc, scale, y0, B, nk, m):
             """Lane-materialize ONE budget-partial cell's cost draws.
 
             The column's first L entries are the already-sampled lite
@@ -837,7 +997,7 @@ def simulate_day(
             Returns the maximal affordable prefix (accepted clicks,
             spend in gate units); the spend is the masked cost sum —
             ``ok`` is a prefix mask, so it equals the prefix at pj."""
-            kt = jax.random.fold_in(k_cells, t)
+            kt = jax.random.fold_in(kc, t)
             k_auc = jax.random.split(kt, 4)[0]
             k_cost = jax.random.split(k_auc)[1]
             k_lanes = jax.random.split(k_cost)[1]
@@ -862,32 +1022,60 @@ def simulate_day(
             sj = jnp.sum(costs * ok.astype(cdt_agg))
             return pj, sj
 
-        def _hot_params(hit_k):
-            """One-hot reads of cell k's per-keyword params.
+        def _make_resolve(m):
+            """``make_resolve`` builder for ``_make_agg_gate``: one call
+            site's deep resolver, built from that site's EXPLICIT arrays
+            (lite table, sub-timestep base, cell-stream key, bids and —
+            implicit only — Laplace params). Nothing per-env is captured
+            from the enclosing trace, so the custom_vmap batching rule
+            can re-invoke it on gathered straggler rows. All cell reads
+            are one-hot contractions: ``hit`` is a (N,) at-most-one-hot
+            mask (all-false on the gate's no-bad-cell sweep — the
+            resolver then runs on zero inputs and its output is
+            discarded by the same mask); the cell's sub-timestep is
+            ``t_base + j // K`` and its keyword ``j % K`` (N is K, or a
+            ct*K / (T-1)*K lexicographic flattening)."""
 
-            ``hit_k`` is a (K,) at-most-one-hot mask; all-false (the
-            gate's no-bad-cell sweep) yields zeros, whose garbage
-            resolution the gate discards through the same mask."""
-            if agg_explicit:
-                loc = scale = jnp.zeros((), jnp.float32)
-            else:
-                loc = jnp.sum(jnp.where(hit_k, kw.bid_loc, 0.0))
-                scale = jnp.sum(jnp.where(hit_k, kw.bid_scale, 0.0))
-            y0 = jnp.sum(jnp.where(hit_k, bids_f, 0.0)) - 0.005
-            return loc, scale, y0
+            def make(lite_n, t_base, kc, *params):
+                if agg_explicit:
+                    (bids_r,) = params
+                    loc_r = scale_r = None
+                else:
+                    bids_r, loc_r, scale_r = params
+                kr = bids_r.shape[0]
 
-        def _hot_lite_col(lite_lk, hit_n):
-            """(L,) lite-cost column selected by an (N,) one-hot mask."""
-            return jnp.sum(jnp.where(hit_n[None, :], lite_lk, 0), axis=1)
+                def resolve(j, B, nk, hit):
+                    hit_k = jnp.any(hit.reshape(-1, kr), axis=0)
+                    if agg_explicit:
+                        loc_j = scale_j = jnp.zeros((), jnp.float32)
+                    else:
+                        loc_j = jnp.sum(jnp.where(hit_k, loc_r, 0.0))
+                        scale_j = jnp.sum(jnp.where(hit_k, scale_r, 0.0))
+                    y0 = jnp.sum(jnp.where(hit_k, bids_r, 0.0)) - 0.005
+                    lite_col = jnp.sum(
+                        jnp.where(hit[None, :], lite_n, 0), axis=1
+                    )
+                    return _resolve_cell(
+                        kc, t_base + j // kr, j % kr, lite_col,
+                        loc_j, scale_j, y0, B, nk, m,
+                    )
 
-        def gate_agg(b, broken, s_full_n, lite_n, ncl_n, resolve):
-            if gate_mode == "scan":
-                return _gate_keywords_scan_agg(b, broken, s_full_n, ncl_n, resolve)
-            return _gate_keywords_lazy_agg(
-                b, broken, s_full_n, lite_n, ncl_n, resolve,
-                max_iter=s_full_n.shape[0] + 2,
-                resolve_w=cfg.gate_resolve_w,
-            )
+                return resolve
+
+            return make
+
+        gate_params = (
+            (bids_f,) if agg_explicit else (bids_f, kw.bid_loc, kw.bid_scale)
+        )
+        _compact = cfg.gate_compact == "auto"
+        gate_site0 = _make_agg_gate(
+            _make_resolve(cfg.max_clicks_per_cell), gate_mode, _compact,
+            cfg.gate_compact_phase_a, cfg.gate_compact_cap,
+        )
+        gate_site1 = _make_agg_gate(
+            _make_resolve(cfg.max_clicks_rest), gate_mode, _compact,
+            cfg.gate_compact_phase_a, cfg.gate_compact_cap,
+        )
     else:
         cost_moments = None
 
@@ -913,13 +1101,15 @@ def simulate_day(
     # halving the per-day sampling work.
     counts = cfg.conv_sampling == "counts"
     rev_sum = cfg.rev_sampling == "sum"
+    rev_day = cfg.rev_sampling == "day"
+    no_rev_table = rev_sum or rev_day
 
     def _unpack(tab):
         it = iter(tab)
         imp, ncl, cpre = next(it), next(it), next(it)
         lite = next(it) if agg else None  # agg: (L, K) lite lane costs
         vpre = None if counts else next(it)
-        rpre = None if rev_sum else next(it)
+        rpre = None if no_rev_table else next(it)
         return imp, ncl, cpre, lite, vpre, rpre
 
     tab0 = _cell_tables(
@@ -939,7 +1129,7 @@ def simulate_day(
         axes = (0, 0, 0 if agg else pax)
         axes += (pax,) if agg else ()
         axes += () if counts else (pax,)
-        axes += () if rev_sum else (pax,)
+        axes += () if no_rev_table else (pax,)
         imp_ladder1 = None
         if agg and cfg.binomial_sampler == "inversion":
             # every tier-1 sub-timestep runs exactly vol//T auctions with
@@ -972,15 +1162,9 @@ def simulate_day(
 
     # ---- phase 2: the budget gate ----
     if agg:
-        def resolve0(j, B, nk, hit):
-            loc, scale, y0 = _hot_params(hit)
-            return _resolve_cell(
-                0, j, _hot_lite_col(lite0, hit), loc, scale, y0, B, nk,
-                cfg.max_clicks_per_cell,
-            )
-
-        (b, broken), (acc0, spend0, sim0) = gate_agg(
-            init_b, jnp.asarray(False), cpre0, lite0, ncl0, resolve0
+        (b, broken), (acc0, spend0, sim0) = gate_site0(
+            init_b, jnp.asarray(False), cpre0, lite0, ncl0,
+            jnp.asarray(0, jnp.int32), k_cells, *gate_params,
         )
     else:
         (b, broken), (acc0, spend0, sim0) = gate(
@@ -991,20 +1175,10 @@ def simulate_day(
         if agg:
             if cfg.gate_scope == "global":
                 lite1f = lite1.reshape(L_lite, t1 * K)
-
-                def resolve1(j, B, nk, hit):
-                    # hit is one-hot over the flattened (t1*K,) cell
-                    # range; per-keyword params fold it to (K,)
-                    hit_k = jnp.any(hit.reshape(t1, K), axis=0)
-                    loc, scale, y0 = _hot_params(hit_k)
-                    return _resolve_cell(
-                        j // K + 1, j % K, _hot_lite_col(lite1f, hit),
-                        loc, scale, y0, B, nk, cfg.max_clicks_rest,
-                    )
-
-                (b, broken), (acc1f, spend1f, sim1f) = gate_agg(
+                (b, broken), (acc1f, spend1f, sim1f) = gate_site1(
                     b, broken, cpre1.reshape(t1 * K), lite1f,
-                    ncl1.reshape(t1 * K), resolve1,
+                    ncl1.reshape(t1 * K), jnp.asarray(1, jnp.int32),
+                    k_cells, *gate_params,
                 )
                 acc1 = acc1f.reshape(t1, K)
                 spend1 = spend1f.reshape(t1, K)
@@ -1036,18 +1210,9 @@ def simulate_day(
 
                 def gate_chunk(carry, xs):
                     sf_g, lt_g, nc_g, g = xs
-
-                    def resolve(j, B, nk, hit):
-                        hit_k = jnp.any(hit.reshape(ct, K), axis=0)
-                        loc, scale, y0 = _hot_params(hit_k)
-                        return _resolve_cell(
-                            1 + g * ct + j // K, j % K,
-                            _hot_lite_col(lt_g, hit), loc, scale, y0,
-                            B, nk, cfg.max_clicks_rest,
-                        )
-
-                    return gate_agg(
-                        carry[0], carry[1], sf_g, lt_g, nc_g, resolve
+                    return gate_site1(
+                        carry[0], carry[1], sf_g, lt_g, nc_g,
+                        1 + g * ct, k_cells, *gate_params,
                     )
 
                 (b, broken), (acc1f, spend1f, sim1f) = lax.scan(
@@ -1060,16 +1225,9 @@ def simulate_day(
             else:
                 def gate_body(carry, xs):
                     sfull_t, lite_t, ncl_t, t = xs
-
-                    def resolve(j, B, nk, hit):
-                        loc, scale, y0 = _hot_params(hit)
-                        return _resolve_cell(
-                            t, j, _hot_lite_col(lite_t, hit), loc, scale,
-                            y0, B, nk, cfg.max_clicks_rest,
-                        )
-
-                    return gate_agg(
-                        carry[0], carry[1], sfull_t, lite_t, ncl_t, resolve
+                    return gate_site1(
+                        carry[0], carry[1], sfull_t, lite_t, ncl_t,
+                        t, k_cells, *gate_params,
                     )
 
                 (b, broken), (acc1, spend1, sim1) = lax.scan(
@@ -1107,10 +1265,15 @@ def simulate_day(
         nconv0 = _nconv_counts(jnp.asarray(0), acc0, cfg.max_clicks_per_cell)
     else:
         nconv0 = jnp.take_along_axis(vpre0, acc0[None, :], axis=0)[0]
-    if rev_sum:
+    rev_dtype = jnp.int64 if cfg.use_x64 else jnp.int32
+    if rev_day:
+        # revenue is drawn ONCE per keyword per day from the day's total
+        # conversions (after the gather/mask phase below); per-cell
+        # revenue carries zeros through the reduction
+        rev0 = jnp.zeros_like(nconv0)
+    elif rev_sum:
         # one aggregate draw per cell instead of an (M, K) revenue table;
         # same k_rev key slot as the lanes path (stream differs; config).
-        rev_dtype = jnp.int64 if cfg.use_x64 else jnp.int32
 
         def _rev_sum(t, nconv):
             kt = jax.random.fold_in(k_cells, t)
@@ -1144,7 +1307,9 @@ def simulate_day(
             nconv1 = jnp.take_along_axis(vpre1, acc1[None, :, :], axis=0)[0]
         else:  # (T-1, M1+1, K)
             nconv1 = jnp.take_along_axis(vpre1, acc1[:, None, :], axis=1)[:, 0, :]
-        if rev_sum:
+        if rev_day:
+            rev1 = jnp.zeros_like(nconv1)
+        elif rev_sum:
             rev1 = jax.vmap(_rev_sum)(jnp.arange(1, T), nconv1)
         elif cfg.gate_scope == "global":  # rev table is (M1+1, T-1, K)
             rev1 = jnp.take_along_axis(rpre1, nconv1[None, :, :], axis=0)[0]
@@ -1170,7 +1335,21 @@ def simulate_day(
     else:
         cost_sum = jnp.sum(cost, axis=0)
     conversions = jnp.sum(conv, axis=0).astype(jnp.int32)
-    revenue_sum = jnp.sum(rev_c, axis=0).astype(dtype) / 100.0
+    if rev_day:
+        # day-level aggregate revenue: ONE censored-normal draw per
+        # keyword from the masked day-total conversions. Key slot: the
+        # k_rev site of the (never-sampled) sub-timestep T, so the
+        # stream is fresh and the tree stays fold_in-structured.
+        # Distribution note (PARITY.md "Aggregate revenue sampling"):
+        # vs "sum" only the cent rounding differs — one rounded normal
+        # instead of T, a (T-1)/12 cent^2 variance difference.
+        k_rev_day = jax.random.split(jax.random.fold_in(k_cells, T), 4)[3]
+        rev_cents_day = dist.rev_sum_cents(
+            k_rev_day, conversions, kw.rev_mean, kw.rev_std, rev_dtype
+        )
+        revenue_sum = rev_cents_day.astype(dtype) / 100.0
+    else:
+        revenue_sum = jnp.sum(rev_c, axis=0).astype(dtype) / 100.0
     return DayOutcomes(
         impressions=impressions,
         buyside_clicks=buyside_clicks,

@@ -62,26 +62,48 @@ def bench_cfg(max_volume: int = 576, kind: str = "implicit"):
         cost_sampling=os.environ.get("BENCH_COST", "agg"),
         lane_bits=int(os.environ.get("BENCH_LANE_BITS", "16")),
         binomial_sampler=os.environ.get("BENCH_BINOM", "inversion"),
-        # chunked lazy-agg gate (scan of gate_chunk_t-sub-timestep groups)
-        # with W-way multi-resolution — the measured sweet spot (PLAN.md
-        # "Measured perf (round 4)")
+        # chunked lazy-agg gate (scan of gate_chunk_t-sub-timestep
+        # groups) + straggler compaction — the measured sweet spot
+        # (PLAN.md "Measured perf (round 4/5)")
         gate_scope=os.environ.get("BENCH_GATE_SCOPE", "chunk"),
         agg_lite_lanes=int(os.environ.get("BENCH_LITE", "1")),
         gate_chunk_t=int(os.environ.get("BENCH_CHUNK_T", "4")),
-        gate_resolve_w=int(os.environ.get("BENCH_RESOLVE_W", "1")),
+        gate_compact=os.environ.get("BENCH_COMPACT", "auto"),
+        gate_compact_phase_a=int(os.environ.get("BENCH_PHASE_A", "0")),
+        gate_compact_cap=int(os.environ.get("BENCH_COMPACT_CAP", "0")),
     )
 
 
-def measure(cfg, num_envs: int, table, steps: int = STEPS) -> float:
+def measure(cfg, num_envs: int, table, steps: int = STEPS,
+            dispatch: str = None) -> float:
     """env-steps/s for one config; synchronizes by fetching a scalar
     (on the tunneled axon backend block_until_ready returns early,
-    silently inflating throughput ~400x)."""
+    silently inflating throughput ~400x).
+
+    ``dispatch`` picks how days are driven:
+      "scan"     (default) the whole timing window is ONE device program
+                 (VectorBiddingEnv.rollout, lax.scan over days) — the
+                 shape RL rollouts use (agents/ppo.py) and free of
+                 per-day host->device dispatch;
+      "percall"  a Python loop of day steps, one dispatch per day — the
+                 interactive/gym-adapter shape (rounds 1-4 measured this;
+                 through the tunneled backend each call pays several ms).
+    """
     from adcraft_tpu.env import VectorBiddingEnv
 
+    dispatch = dispatch or os.environ.get("BENCH_DISPATCH", "scan")
     venv = VectorBiddingEnv(cfg, num_envs, table=table)
     key = jax.random.PRNGKey(0)
     state, _ = venv.reset(key)
     bids = jnp.full((num_envs, cfg.num_keywords), 1.0, jnp.float32)
+    if dispatch == "scan":
+        state, tss = venv.rollout(state, bids, steps)  # compile + warm
+        float(tss.reward.sum())
+        t0 = time.perf_counter()
+        state, tss = venv.rollout(state, bids, steps)
+        float(tss.reward.sum())
+        dt = time.perf_counter() - t0
+        return num_envs * steps / dt
     state, ts = venv.step(state, bids)  # compile + warm
     float(ts.reward.sum())
     t0 = time.perf_counter()
@@ -114,6 +136,7 @@ def main() -> None:
     headline = measure(cfg, NUM_ENVS, dense) / n_chips
     note(f"headline {NUM_ENVS} envs: {headline:.1f} env-steps/s/chip")
     out = {
+        "dispatch": os.environ.get("BENCH_DISPATCH", "scan"),
         "metric": "env_steps_per_sec_per_chip",
         "value": round(headline, 1),
         "unit": "env-steps/s/chip",
@@ -130,8 +153,9 @@ def main() -> None:
             "binomial_sampler": cfg.binomial_sampler,
             "gate_scope": cfg.gate_scope,
             "gate_chunk_t": cfg.gate_chunk_t,
-            "gate_resolve_w": cfg.gate_resolve_w,
             "agg_lite_lanes": cfg.agg_lite_lanes,
+            "gate_compact": cfg.gate_compact,
+            "gate_compact_cap": cfg.gate_compact_cap,
         },
     }
 
@@ -139,6 +163,17 @@ def main() -> None:
         # Each extra section is best-effort: a dropped remote-compile
         # connection (observed) must not cost the already-measured
         # headline. Failures are noted in the JSON.
+        try:
+            # the rounds-1..4 dispatch shape (one device call per day) for
+            # continuity; the difference vs the headline is the per-day
+            # host dispatch cost (VERDICT r4 item 6)
+            percall = measure(cfg, NUM_ENVS, dense, dispatch="percall") / n_chips
+            out["per_call_dispatch"] = round(percall, 1)
+            note(f"per-call dispatch variant: {percall:.1f}")
+        except Exception as exc:  # pragma: no cover - tunnel flakiness
+            out["per_call_error"] = repr(exc)[:200]
+            note(f"per-call variant failed: {exc!r}")
+
         try:
             # env-batch scaling (VERDICT r1 item 6)
             scaling = {str(NUM_ENVS): round(headline, 1)}

@@ -4,7 +4,7 @@ The lockstep while_loop in ``_gate_keywords_lazy_agg`` makes a vmapped
 batch pay the WORST env's sweep count at every gate call, which PLAN.md's
 round-3 perf model identifies as the dense-regime binder. Sweep counts are
 hardware-independent, so the right (gate_scope, gate_chunk_t,
-agg_lite_lanes, gate_resolve_w) combination can be predicted here on CPU
+agg_lite_lanes) combination can be predicted here on CPU
 and only the top candidates spent on slow TPU compiles.
 
 Implementation notes: ``step._GATE_STATS_HOOK`` delivers each gate call's
@@ -16,7 +16,10 @@ call site instead of one site executed G times.
 
 For each config this prints per-call [max over envs] sweep counts plus
 two per-step cost proxies: sum(max_sweeps) — the lockstep chain length —
-and sum(max_sweeps * cell_width) — the bulk classification work.
+and sum(max_sweeps * cell_width) — the bulk classification work — and the
+per-call STRAGGLER counts (envs whose warm init leaves them not-done, i.e.
+sweep counter > 2): the quantity that sizes the compacted gate's gather
+capacity (step.py straggler compaction).
 
 Usage:
   env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
@@ -60,7 +63,7 @@ class _UnrolledLax:
         return carry, stacked
 
 
-def run_config(scope, ct, lite, w):
+def run_config(scope, ct, lite):
     import adcraft_tpu.step as step_mod
     from adcraft_tpu.config import EnvConfig, KeywordKind
     from adcraft_tpu.env import VectorBiddingEnv
@@ -79,7 +82,6 @@ def run_config(scope, ct, lite, w):
         gate_scope=scope,
         gate_chunk_t=ct,
         agg_lite_lanes=lite,
-        gate_resolve_w=w,
     )
 
     records = {}  # site id -> list of per-env sweep counts
@@ -92,7 +94,8 @@ def run_config(scope, ct, lite, w):
         site_width[site] = None
 
         def record(v, _site=site):
-            records.setdefault(_site, []).append(int(v))
+            vals = np.asarray(v).ravel()
+            records.setdefault(_site, []).extend(int(x) for x in vals)
 
         jax.debug.callback(record, it)
 
@@ -128,14 +131,28 @@ def run_config(scope, ct, lite, w):
     site_ids = sorted(records)
     maxs = [max(records[s]) for s in site_ids]
     means = [float(np.mean(records[s])) for s in site_ids]
+    # per-call distribution of env iteration counters (2 = warm only):
+    # p50/p90/p99/max — sizes the staged/compacted gate's phase split
+    quants = [
+        tuple(int(np.percentile(records[s], q)) for q in (50, 90, 99, 100))
+        for s in site_ids
+    ]
+    # stragglers: envs that actually entered the while loop (the warm
+    # init leaves done=True for quiet envs, whose counter stays at 2)
+    strag = [sum(1 for v in records[s] if v > 2) for s in site_ids]
     assert len(site_ids) == len(cell_w), (len(site_ids), len(cell_w))
     tot_sweeps = sum(maxs)
     tot_work = sum(m * cw for m, cw in zip(maxs, cell_w))
     show = maxs if len(maxs) <= 13 else maxs[:13] + ["..."]
+    show_s = strag if len(strag) <= 13 else strag[:13] + ["..."]
+    n_calls = max(len(records[s]) for s in site_ids) if site_ids else 0
     print(
-        f"{scope:>6} ct={ct} L={lite} W={w}: calls={len(site_ids)} "
+        f"{scope:>6} ct={ct} L={lite}: calls={len(site_ids)} "
         f"sum(max_sweeps)={tot_sweeps} sum(max*width)={tot_work} "
-        f"max_per_call={show} mean0={means[0]:.2f}",
+        f"max_per_call={show} mean0={means[0]:.2f} "
+        f"stragglers/call={show_s} (of {n_calls // max(STEPS, 1)} envs x "
+        f"{STEPS} steps)\n        it p50/p90/p99/max per call: "
+        f"{quants if len(quants) <= 13 else quants[:13]}",
         flush=True,
     )
     return tot_sweeps, tot_work
@@ -150,13 +167,12 @@ if __name__ == "__main__":
         ]
     else:
         configs = []
-        for w in (1, 2, 4):
-            for lite in (1, 2, 4):
-                configs += [
-                    ("global", 4, lite, w),
-                    ("chunk", 4, lite, w),
-                    ("chunk", 8, lite, w),
-                ]
+        for lite in (1, 2, 4):
+            configs += [
+                ("global", 4, lite),
+                ("chunk", 4, lite),
+                ("chunk", 8, lite),
+            ]
     print(f"[gate_stats] envs={NUM_ENVS} steps={STEPS}", flush=True)
     for c in configs:
         run_config(*c)

@@ -55,7 +55,9 @@ def time_step(tag):
         gate_scope=os.environ.get("BENCH_GATE_SCOPE", "chunk"),
         agg_lite_lanes=int(os.environ.get("BENCH_LITE", "1")),
         gate_chunk_t=int(os.environ.get("BENCH_CHUNK_T", "4")),
-        gate_resolve_w=int(os.environ.get("BENCH_RESOLVE_W", "1")),
+        gate_compact=os.environ.get("BENCH_COMPACT", "auto"),
+        gate_compact_phase_a=int(os.environ.get("BENCH_PHASE_A", "0")),
+        gate_compact_cap=int(os.environ.get("BENCH_COMPACT_CAP", "0")),
     )
     table = simple_experiment_table(128, 0.8)
     venv = VectorBiddingEnv(cfg, NUM_ENVS, table=table)
@@ -63,9 +65,24 @@ def time_step(tag):
     state, _ = venv.reset(key)
     bids = jnp.full((NUM_ENVS, NUM_KEYWORDS), 1.0, jnp.float32)
 
+    # PROBE_DISPATCH=scan rolls the whole STEPS-day window into one
+    # device program (VectorBiddingEnv.rollout) — isolates per-call
+    # dispatch from compute (VERDICT r4 item 6); default percall keeps
+    # continuity with the r1-r4 probe records.
+    scan_days = os.environ.get("PROBE_DISPATCH", "percall") == "scan"
+
+    def run_window(state):
+        if scan_days:
+            state, tss = venv.rollout(state, bids, STEPS)
+            float(tss.reward.sum())
+            return state
+        for _ in range(STEPS):
+            state, ts = venv.step(state, bids)
+        float(ts.reward.sum())
+        return state
+
     t_c0 = time.perf_counter()
-    state, ts = venv.step(state, bids)
-    float(ts.reward.sum())
+    state = run_window(state)
     compile_s = time.perf_counter() - t_c0
 
     # min over several timing windows: the tunnel's service latency
@@ -76,9 +93,7 @@ def time_step(tag):
     windows = []
     for _ in range(int(os.environ.get("PROBE_WINDOWS", 3))):
         t0 = time.perf_counter()
-        for _ in range(STEPS):
-            state, ts = venv.step(state, bids)
-        float(ts.reward.sum())
+        state = run_window(state)
         windows.append(time.perf_counter() - t0)
     dt = min(windows)
     print(
@@ -220,16 +235,19 @@ def patch_nomoments():
 
 
 def patch_nogate_agg():
-    """Agg gate -> unconditional full acceptance (timing only)."""
+    """Agg gate -> unconditional full acceptance (timing only). Patched
+    at the _make_agg_gate factory so BOTH the unbatched path and the
+    compacted custom_vmap rule are ablated."""
     import adcraft_tpu.step as step_mod
 
-    def accept_all(budget0, broken0, s_full, lite_costs, n_clicks, resolve_fn,
-                   max_iter=0, resolve_w=1):
-        n = s_full.shape[0]
-        sim = jnp.full((n,), True)
-        return (budget0, broken0), (n_clicks, s_full, sim)
+    def factory(make_resolve, gate_mode, compact, phase_a, cap, min_batch=64):
+        def accept_all(b0, br, sf, lite, ncl, t_base, kc, *params):
+            n = sf.shape[0]
+            return (b0, br), (ncl, sf, jnp.full((n,), True))
 
-    step_mod._gate_keywords_lazy_agg = accept_all
+        return accept_all
+
+    step_mod._make_agg_gate = factory
 
 
 def patch_maxiter_agg(cap: int):
@@ -240,29 +258,58 @@ def patch_maxiter_agg(cap: int):
     converges below the cap."""
     import adcraft_tpu.step as step_mod
 
-    orig = step_mod._gate_keywords_lazy_agg
+    orig = step_mod._lazy_agg_loop
 
-    def capped(b0, br, sf, lite, ncl, resolve_fn, max_iter, resolve_w=1):
-        return orig(b0, br, sf, lite, ncl, resolve_fn,
-                    min(max_iter, cap), resolve_w)
+    def capped(b0, sf, lt, ncl, resolve_fn, max_iter, state):
+        return orig(b0, sf, lt, ncl, resolve_fn, min(max_iter, cap), state)
 
-    step_mod._gate_keywords_lazy_agg = capped
+    step_mod._lazy_agg_loop = capped
 
 
 def patch_noresolve_agg():
     """Deep lane resolution -> constant (0, 0) (timing only; WRONG when a
-    budget-partial cell exists). Isolates resolve_fn's cost per sweep."""
+    budget-partial cell exists). Isolates resolve_fn's cost per sweep,
+    in both the unbatched path and the compacted rule."""
     import adcraft_tpu.step as step_mod
 
-    orig = step_mod._gate_keywords_lazy_agg
+    orig = step_mod._make_agg_gate
 
-    def gate(b0, br, sf, lite, ncl, resolve_fn, max_iter, resolve_w=1):
-        def dummy(j, B, nk, hit):
-            return jnp.asarray(0, jnp.int32), jnp.zeros((), sf.dtype)
+    def factory(make_resolve, *a, **k):
+        def dummy_make(lite_n, t_base, kc, *params):
+            def dummy(j, B, nk, hit):
+                return jnp.asarray(0, jnp.int32), jnp.zeros((), jnp.int32)
 
-        return orig(b0, br, sf, lite, ncl, dummy, max_iter, resolve_w)
+            return dummy
 
-    step_mod._gate_keywords_lazy_agg = gate
+        return orig(dummy_make, *a, **k)
+
+    step_mod._make_agg_gate = factory
+
+
+def patch_nocompact():
+    """Force gate_compact off (the round-4 lockstep batched gate) without
+    a new config — in-process A/B of the straggler compaction."""
+    import adcraft_tpu.step as step_mod
+
+    orig = step_mod._make_agg_gate
+
+    def factory(make_resolve, gate_mode, compact, phase_a, cap, min_batch=64):
+        return orig(make_resolve, gate_mode, False, phase_a, cap, min_batch)
+
+    step_mod._make_agg_gate = factory
+
+
+def patch_compact(cap: int, phase_a: int = 0):
+    """Force compaction on with an explicit cap / phase-A iteration count
+    (in-process ladder of compaction knobs)."""
+    import adcraft_tpu.step as step_mod
+
+    orig = step_mod._make_agg_gate
+
+    def factory(make_resolve, gate_mode, compact, _pa, _cap, min_batch=64):
+        return orig(make_resolve, gate_mode, True, phase_a, cap, min_batch)
+
+    step_mod._make_agg_gate = factory
 
 
 def patch_nodraws_agg():
@@ -316,24 +363,6 @@ def patch_noimp():
     dist_mod.binomial_inv_from_cdf = det_from_cdf
 
 
-def patch_resolve_w(w: int):
-    """Override gate_resolve_w without recompiling a new config — lets one
-    process A/B resolve-round counts back-to-back (the tunnel's service
-    health drifts between processes, so only within-process comparisons
-    are trustworthy; bracket with a repeated 'full')."""
-    import adcraft_tpu.step as step_mod
-
-    orig = getattr(step_mod, "_GATE_TRUE_ORIG", None)
-    if orig is None:
-        orig = step_mod._gate_keywords_lazy_agg
-        step_mod._GATE_TRUE_ORIG = orig
-
-    def gate(b0, br, sf, lite, ncl, resolve_fn, max_iter, resolve_w=1):
-        return orig(b0, br, sf, lite, ncl, resolve_fn, max_iter, w)
-
-    step_mod._gate_keywords_lazy_agg = gate
-
-
 def patch_nobinom_agg():
     """Inversion binomials -> deterministic round(n*p) (timing only)."""
     from adcraft_tpu import distributions as dist_mod
@@ -351,8 +380,13 @@ def patch_nobinom_agg():
 def _apply(part):
     if part.startswith("full"):  # "full", "full2", ... re-time unpatched
         pass
-    elif part.startswith("resolvew"):
-        patch_resolve_w(int(part[len("resolvew"):]))
+    elif "=" in part:
+        # config-override variant piece, e.g. "BENCH_REV=day+full" or
+        # "BENCH_LITE=2": sets the env knob for THIS variant only (the
+        # run loop restores the original environment), so different
+        # EnvConfigs can be A/B'd inside one bracketed process
+        k, v = part.split("=", 1)
+        os.environ[k] = v
     elif part == "fixed4":
         patch_fixed4()
     elif part == "nogate":
@@ -368,6 +402,15 @@ def _apply(part):
         patch_nomoments()
     elif part == "nogate_agg":
         patch_nogate_agg()
+    elif part == "nocompact":
+        patch_nocompact()
+    elif part.startswith("compact"):
+        spec = part[len("compact"):]
+        if "p" in spec:
+            cap_s, pa_s = spec.split("p")
+            patch_compact(int(cap_s), int(pa_s))
+        else:
+            patch_compact(int(spec))
     elif part == "nobinom_agg":
         patch_nobinom_agg()
     elif part == "noresolve_agg":
@@ -388,7 +431,7 @@ def _snapshot():
     """Pristine copies of every patchable site, so variants don't stack
     across the run loop (a 'maxiter4' after a 'maxiter8' must not compose
     into min(4, 8)). Composition within one variant is spelled explicitly
-    with '+': e.g. 'resolvew16+maxiter1'."""
+    with '+': e.g. 'nogate_agg+nobinom_agg'."""
     import adcraft_tpu.auction as auction_mod
     import adcraft_tpu.env as env_mod
     import adcraft_tpu.step as step_mod
@@ -398,6 +441,8 @@ def _snapshot():
         (step_mod, "update_keywords"): step_mod.update_keywords,
         (env_mod, "update_keywords"): env_mod.update_keywords,
         (step_mod, "_gate_keywords_lazy_agg"): step_mod._gate_keywords_lazy_agg,
+        (step_mod, "_make_agg_gate"): step_mod._make_agg_gate,
+        (step_mod, "_lazy_agg_loop"): step_mod._lazy_agg_loop,
         (step_mod, "_gate_keywords_lazy"): step_mod._gate_keywords_lazy,
         (step_mod, "_gate_keywords_jacobi"): step_mod._gate_keywords_jacobi,
         (dist_mod, "binomial"): dist_mod.binomial,
@@ -418,12 +463,13 @@ def _snapshot():
 if __name__ == "__main__":
     variants = sys.argv[1:] or ["full", "fixed4", "nogate", "nobinom"]
     pristine = _snapshot()
+    env0 = dict(os.environ)
     for v in variants:
         for (mod, name), fn in pristine.items():
             setattr(mod, name, fn)
-        import adcraft_tpu.step as _sm
-
-        _sm._GATE_TRUE_ORIG = None
+        for k in [k for k in os.environ if k not in env0]:
+            del os.environ[k]
+        os.environ.update(env0)
         for part in v.split("+"):
             _apply(part)
         time_step(v)

@@ -339,3 +339,69 @@ def test_gym_set_updater_mask():
     kw_after = np.asarray(env.state.kw.vol_mean)
     np.testing.assert_array_equal(kw_before[[1, 3]], kw_after[[1, 3]])
     assert not np.array_equal(kw_before[[0, 2]], kw_after[[0, 2]])
+
+
+@pytest.mark.unit
+def test_rollout_matches_sequential_steps():
+    """env_rollout / VectorBiddingEnv.rollout (one lax.scan program) must
+    reproduce the same trajectory as a Python loop of step() calls:
+    per-keyword day outcomes and obs bit-exactly, the scalar reward /
+    cumulative-profit K-sums to the last float32 ulp (XLA may order the
+    K-reduction differently inside a different program)."""
+    cfg = EnvConfig(
+        num_keywords=7, kind=KeywordKind.IMPLICIT, max_volume=96,
+        conv_sampling="counts", rev_sampling="sum", cost_sampling="agg",
+        lane_bits=16, binomial_sampler="inversion", gate_scope="chunk",
+    )
+    table = simple_experiment_table(32, 0.4)
+    venv = VectorBiddingEnv(cfg, 6, table=table)
+    st0, _ = venv.reset(jax.random.PRNGKey(0))
+    bids = jnp.full((6, 7), 1.0)
+    bud = jnp.full((6,), 3.0)
+
+    def check(seq_ts, seq_state, roll_ts, roll_state):
+        seq = seq_ts._asdict()
+        rol = roll_ts._asdict()
+        for name in seq:
+            a, b = seq[name], rol[name]
+            for (pa, la), (pb, lb) in zip(
+                jax.tree_util.tree_leaves_with_path(a),
+                jax.tree_util.tree_leaves_with_path(b),
+            ):
+                la, lb = np.asarray(la), np.asarray(lb)
+                tag = f"{name}{jax.tree_util.keystr(pa)}"
+                if name == "reward" or "cumulative_profit" in tag:
+                    np.testing.assert_allclose(
+                        la, lb, atol=1e-5, rtol=1e-6, err_msg=tag
+                    )
+                else:
+                    np.testing.assert_array_equal(la, lb, err_msg=tag)
+        for (pa, la), (pb, lb) in zip(
+            jax.tree_util.tree_leaves_with_path(seq_state),
+            jax.tree_util.tree_leaves_with_path(roll_state),
+        ):
+            la = np.asarray(la)
+            lb = np.asarray(lb)
+            if la.dtype.kind == "f":
+                np.testing.assert_allclose(la, lb, atol=1e-5, rtol=1e-6)
+            else:
+                np.testing.assert_array_equal(la, lb)
+
+    # with budget override
+    st, seq = st0, []
+    for _ in range(4):
+        st, ts = venv.step(st, bids, bud)
+        seq.append(ts)
+    seq_stack = jax.tree.map(lambda *a: jnp.stack(a), *seq)
+    st2, roll = venv.rollout(st0, bids, 4, bud)
+    check(seq_stack, st, roll, st2)
+
+    # without budget; per-day bid schedule
+    sched = jnp.stack([bids * (1.0 + 0.5 * i) for i in range(3)])
+    st, seq = st0, []
+    for i in range(3):
+        st, ts = venv.step(st, sched[i])
+        seq.append(ts)
+    seq_stack = jax.tree.map(lambda *a: jnp.stack(a), *seq)
+    st2, roll = venv.rollout(st0, sched, 3)
+    check(seq_stack, st, roll, st2)
