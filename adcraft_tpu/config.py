@@ -201,9 +201,12 @@ class EnvConfig:
     #           cell(s), so the (M, K) cost tables (~83% of all PRNG
     #           words at bench shape) vanish. CLT-approximate at the
     #           full/partial boundary; distribution-validated in
-    #           tests/test_step.py, deviations in PARITY.md. Not
-    #           available for the binomial-pool competitor model (no
-    #           closed-form moments of the pool max). Used by bench.py.
+    #           tests/test_step.py, deviations in PARITY.md. The
+    #           BINOMIAL_POOL competitor model (round 5) uses per-cell
+    #           quadrature moments CONDITIONAL on the cell's bidder-count
+    #           draw (distributions.pool_cost_deci_moments) on the
+    #           0.1-cent grid, with first-violation-stop prefix masks
+    #           since k >= 3 pool costs can be negative. Used by bench.py.
     cost_sampling: str = "lanes"
 
     # Straggler compaction for the BATCHED lazy-agg gate (a
@@ -223,6 +226,11 @@ class EnvConfig:
     gate_compact: str = "auto"
     gate_compact_phase_a: int = 0
     gate_compact_cap: int = 0
+
+    # Unroll factor for the scan over chunk/per-t gate calls (lax.scan
+    # unroll): >1 inlines that many gate calls per scan step so XLA can
+    # fuse one chunk's epilogue with the next chunk's warm init.
+    gate_scan_unroll: int = 1
 
     # Cent-grid size for the exact per-click cost moments under
     # cost_sampling="agg": moments are exact for bids <= agg_cost_grid/100
@@ -295,15 +303,6 @@ class EnvConfig:
             raise ValueError("rev_sampling must be 'lanes', 'sum' or 'day'")
         if self.cost_sampling not in ("lanes", "agg"):
             raise ValueError("cost_sampling must be 'lanes' or 'agg'")
-        if self.cost_sampling == "agg" and (
-            self.kind is KeywordKind.IMPLICIT
-            and self.competitor_model is not CompetitorModel.SINGLE_ABS_CENTS
-        ):
-            raise ValueError(
-                "cost_sampling='agg' requires implicit SINGLE_ABS_CENTS or "
-                "explicit keywords (cost models with closed-form per-click "
-                "moments; the binomial-pool competitor max has none)"
-            )
         if self.agg_cost_grid < 2:
             raise ValueError("agg_cost_grid must be >= 2")
         if self.agg_lite_lanes < 1:
@@ -320,6 +319,8 @@ class EnvConfig:
             raise ValueError("gate_compact_phase_a must be >= 0")
         if self.gate_compact_cap < 0:
             raise ValueError("gate_compact_cap must be >= 0")
+        if self.gate_scan_unroll < 1:
+            raise ValueError("gate_scan_unroll must be >= 1")
         if self.lane_bits not in (16, 32):
             raise ValueError("lane_bits must be 16 or 32")
         if self.binomial_sampler not in ("exact", "inversion"):

@@ -28,13 +28,21 @@ from adcraft_tpu.experiments.harness import BID_GRID
 from adcraft_tpu.keywords import sample_implicit_keywords
 
 
-def evaluate(trainer: PPOTrainer, params, key, num_envs: int = 16) -> Dict:
+def evaluate(
+    trainer: PPOTrainer, params, key, num_envs: int = 16,
+    eval_days: int = None,
+) -> Dict:
     """Greedy-policy rollout + AKNCP/NCP against the oracle curves.
 
     Mirrors the notebook's run_agent_for_max_days + compute_AKNCP/NCP
-    eval loop (train_agent.ipynb cell 8).
+    eval loop (train_agent.ipynb cell 8). ``eval_days`` overrides the
+    episode length (used when training runs on never-resetting episodes
+    — the stationary-training mode — but evaluation should score the
+    reference's standard 60-day episodes).
     """
     cfg = trainer.env_cfg
+    if eval_days is not None:
+        cfg = cfg.replace(max_days=eval_days)
 
     def rollout(k):
         kw = sample_implicit_keywords(k, cfg.num_keywords, trainer.table)
@@ -99,6 +107,14 @@ def main() -> None:
         "train_agent.ipynb cells 8/12/14's saved outputs)",
     )
     ap.add_argument(
+        "--stationary-train",
+        action="store_true",
+        help="train on never-resetting episodes (each env's keyword set "
+        "is a fixed learning target — removes the keyword-resample "
+        "non-stationarity of short auto-reset episodes); evaluation "
+        "still scores standard max_days episodes",
+    )
+    ap.add_argument(
         "--exact-env",
         action="store_true",
         help="use the injected-parity sampling modes (lanes/exact) instead "
@@ -122,9 +138,10 @@ def main() -> None:
             gate_scope="chunk",
         )
     )
+    eval_days = env_config["max_days"]
     cfg = EnvConfig(
         num_keywords=k,
-        max_days=env_config["max_days"],
+        max_days=1_000_000 if args.stationary_train else eval_days,
         kind=KeywordKind.IMPLICIT,
         max_volume=int(max(32, 4 * kc["mean_volume"] + 64)),
         **fast,
@@ -148,7 +165,8 @@ def main() -> None:
         if (step + 1) % args.eval_every == 0:
             line.update(
                 evaluate(
-                    trainer, state.params, jax.random.PRNGKey(1000 + step)
+                    trainer, state.params, jax.random.PRNGKey(1000 + step),
+                    eval_days=eval_days,
                 )
             )
         curve.append(line)
@@ -162,11 +180,13 @@ def main() -> None:
         from adcraft_tpu.experiments.harness import run_episode_batch
 
         final_eval = evaluate(
-            trainer, state.params, jax.random.PRNGKey(999), num_envs=32
+            trainer, state.params, jax.random.PRNGKey(999), num_envs=32,
+            eval_days=eval_days,
         )
         zm = run_episode_batch(
-            cfg, trainer.table, env_seeds=(5, 6, 7, 8),
-            agent_seeds=(0, 1), num_days=cfg.max_days,
+            cfg.replace(max_days=eval_days), trainer.table,
+            env_seeds=(5, 6, 7, 8), agent_seeds=(0, 1),
+            num_days=eval_days,
         )
         ideal = zm["ideal_profits"]
         zm_akncp = float(

@@ -46,7 +46,12 @@ from jax.custom_batching import custom_vmap
 
 from adcraft_tpu import distributions as dist
 from adcraft_tpu.auction import cell_binomial_fn, run_cell_auctions
-from adcraft_tpu.config import CostModel, EnvConfig, KeywordKind
+from adcraft_tpu.config import (
+    CompetitorModel,
+    CostModel,
+    EnvConfig,
+    KeywordKind,
+)
 from adcraft_tpu.keywords import KeywordState
 
 Array = jax.Array
@@ -426,12 +431,14 @@ def _lazy_agg_classify(budget0, s_full, n_clicks, lite_costs, spend, p, fixed, b
     # bad (s_full > B), so okres and okfull are disjoint anyway
     okfull = s_full <= B
     okres = ~okfull & fixed & (bres == B)
-    # lite resolution: maximal affordable prefix within the lite
-    # lanes. ``okl`` is a PREFIX mask (cumsum nondecreasing, lane
-    # bound monotone), so the accepted spend is the masked cost sum —
-    # no gather.
+    # lite resolution: accepted clicks = lanes before the FIRST prefix
+    # violation (cumprod turns the feasibility mask into a stop-at-first
+    # -violation prefix mask — identical for non-negative costs, where
+    # the cumsum is nondecreasing, and exact for the pool model's
+    # possibly-negative costs); the accepted spend is then the masked
+    # cost sum — no gather.
     okl = (lite_cum <= B[None, :]) & (lane_l[:, None] < n_clicks[None, :])
-    okl_i = okl.astype(jnp.int32)
+    okl_i = jnp.cumprod(okl.astype(jnp.int32), axis=0)
     p_lite = jnp.sum(okl_i, axis=0).astype(jnp.int32)
     s_lite = jnp.sum(lite_costs * okl_i.astype(lite_costs.dtype), axis=0)
     oklite = ~okfull & (lite_decided_static | (lite_end > B))
@@ -552,17 +559,29 @@ def _lazy_agg_loop(
 
 def _lazy_agg_epilogue(budget0, broken0, spend, p):
     """Identical epilogue to the lazy/Jacobi gates: mask cells at/after
-    the first budget break, thread the final budget."""
+    the first budget break, thread the final budget.
+
+    One cumsum instead of the r4 cumsum+cumprod+cumsum: cells at/after
+    the first break are masked to zero, so the post-mask budget path is
+    the pre-mask path frozen at the break cell — its final value is the
+    budget AT the break (a one-hot read), and the break flag is just
+    "a break exists". Bit-identical outputs (tests cross-check vs the
+    sequential scan gate)."""
+    n = spend.shape[0]
+    karange = jnp.arange(n)
     zero = jnp.zeros((), spend.dtype)
     nb = budget0 - jnp.cumsum(spend)
-    alive = jnp.cumprod((nb > 0).astype(jnp.int32))
-    sim = ~broken0 & jnp.concatenate(
-        [jnp.ones((1,), bool), alive[:-1].astype(bool)]
-    )
+    brk = nb <= 0
+    first_brk = jnp.min(jnp.where(brk, karange, n))
+    sim = ~broken0 & (karange <= first_brk)
     spend = jnp.where(sim, spend, zero)
     p = jnp.where(sim, p, 0)
-    b_path = budget0 - jnp.cumsum(spend)
-    return (b_path[-1], broken0 | jnp.any(b_path <= 0)), (p, spend, sim)
+    any_brk = jnp.any(brk)
+    # post-mask final budget: nb at the break cell if one exists (cells
+    # after it spend nothing), else nb[-1]; if broken0 nothing ran
+    b_at = jnp.sum(jnp.where(karange == first_brk, nb, zero))
+    b_out = jnp.where(broken0, budget0, jnp.where(any_brk, b_at, nb[-1]))
+    return (b_out, broken0 | (~broken0 & any_brk)), (p, spend, sim)
 
 
 def _make_agg_gate(
@@ -578,13 +597,16 @@ def _make_agg_gate(
 
     The returned function has the pure-array signature
 
-        gate(budget0, broken0, s_full, lite, n_clicks, t_base, k_cells,
-             *params) -> ((b, broken), (p, spend, sim))
+        gate(budget0, broken0, s_full, lite, n_clicks, cell_aux, t_base,
+             k_cells, *params) -> ((b, broken), (p, spend, sim))
 
-    where ``make_resolve(lite, t_base, k_cells, *params)`` builds the
-    deep-resolution closure from those same arrays (everything the
-    resolver touches is an explicit argument, so the function is
-    batchable with no captured per-env tracers).
+    where ``make_resolve(lite, cell_aux, t_base, k_cells, *params)``
+    builds the deep-resolution closure from those same arrays
+    (everything the resolver touches is an explicit argument, so the
+    function is batchable with no captured per-env tracers).
+    ``cell_aux`` is a per-cell (N,) side table for models whose
+    resolver needs per-cell state beyond the lite costs — the binomial
+    pool's bidder counts; zeros for the other models.
 
     Unbatched (or ``compact=False``, or the "scan" cross-validation
     mode) it is exactly the round-4 gate. Under ``jax.vmap`` a
@@ -614,14 +636,17 @@ def _make_agg_gate(
     """
     from functools import partial
 
-    def impl(budget0, broken0, s_full, lite, n_clicks, t_base, k_cells, *params):
+    def impl(
+        budget0, broken0, s_full, lite, n_clicks, cell_aux, t_base,
+        k_cells, *params,
+    ):
         # literal operands can reach here as bare numpy wrappers through
         # the custom_vmap machinery (observed under vmap-of-scan); make
         # them jnp values before any operator touches them
         budget0 = jnp.asarray(budget0)
         broken0 = jnp.asarray(broken0)
         t_base = jnp.asarray(t_base)
-        resolve = make_resolve(lite, t_base, k_cells, *params)
+        resolve = make_resolve(lite, cell_aux, t_base, k_cells, *params)
         if gate_mode == "scan":
             return _gate_keywords_scan_agg(
                 budget0, broken0, s_full, n_clicks, resolve
@@ -652,7 +677,7 @@ def _make_agg_gate(
             return jnp.broadcast_to(x, (axis_size,) + jnp.shape(x))
 
         args = tuple(a if b else bc(a) for a, b in zip(args, flat_batched))
-        b0, br0, sf, lt, ncl, t_base, kc, *params = args
+        b0, br0, sf, lt, ncl, aux, t_base, kc, *params = args
         b0 = jnp.asarray(b0)
         br0 = jnp.asarray(br0)
         t_base = jnp.asarray(t_base)
@@ -660,10 +685,10 @@ def _make_agg_gate(
         max_iter = n + 2
 
         state = jax.vmap(_lazy_agg_warm)(b0, br0, sf, lt, ncl)
-        loop_args = (b0, sf, lt, ncl, t_base, kc) + tuple(params)
+        loop_args = (b0, sf, lt, ncl, aux, t_base, kc) + tuple(params)
 
-        def loop_one(cap_it, state, b0, sf, lt, ncl, t_base, kc, *params):
-            resolve = make_resolve(lt, t_base, kc, *params)
+        def loop_one(cap_it, state, b0, sf, lt, ncl, aux, t_base, kc, *params):
+            resolve = make_resolve(lt, aux, t_base, kc, *params)
             return _lazy_agg_loop(
                 b0, sf, lt, ncl, resolve, cap_it, state
             )
@@ -769,7 +794,51 @@ def _cell_tables(
 
         cents_dtype = jnp.int64 if cfg.use_x64 else jnp.int32
         explicit = cfg.kind is KeywordKind.EXPLICIT
+        pool = (
+            cfg.kind is KeywordKind.IMPLICIT
+            and cfg.competitor_model is CompetitorModel.BINOMIAL_POOL
+        )
         bfn = cell_binomial_fn(cfg, m)
+        if pool:
+            # mirror implicit_pool_auction's key structure exactly
+            # (k_bidders/k_imp/k_cost) so the bidder-count and impression
+            # streams are bit-identical to the lanes path; per-click cost
+            # moments are CONDITIONAL on the cell's bidder count k (drawn
+            # once per cell, reference synthetic_kw_classes.py:621), so
+            # the k-correlation of a cell's clicks is preserved exactly
+            # at the aggregate level
+            k_bidders, k_imp, k_cost = jax.random.split(k_auc, 3)
+            kvec = dist.binomial(
+                k_bidders, kw.max_bidders, kw.participation_rate
+            ).astype(jnp.float32)
+            f_bid = dist.laplace_cdf(bids, kw.bid_loc, kw.bid_scale)
+            p_win = jnp.where(
+                kvec > 0, f_bid ** jnp.maximum(kvec, 1.0), 1.0
+            )
+            impressions = bfn(k_imp, n_auc_t, p_win)
+            n_clicks = bfn(k_click, impressions, kw.bctr)
+            mu_c, sig_c, cmax_c = dist.pool_cost_deci_moments(
+                bids, kw.bid_loc, kw.bid_scale, kvec
+            )
+            k_sfull, k_lanes = jax.random.split(k_cost)
+            # k >= 3 cells can have NEGATIVE costs (raw Laplace max):
+            # clip the aggregate draw to [-n*cmax, n*cmax] there
+            cmin_c = jnp.where(kvec >= 3.0, -cmax_c, 0.0)
+            s_full = dist.agg_cost_cents(
+                k_sfull, n_clicks, mu_c, sig_c, cmax_c, cents_dtype,
+                cmin=cmin_c,
+            )
+            k_lite = jax.random.split(k_lanes)[0]
+            d0 = dist.pool_cost_lane_draws(
+                k_lite, bids[None, :], kw.bid_loc[None, :],
+                kw.bid_scale[None, :], kvec[None, :], (lite_lanes, K),
+                bits=cfg.lane_bits,
+            )
+            lite_costs = jnp.round(d0 * agg_scale).astype(cents_dtype)
+            out = [impressions, n_clicks, s_full, lite_costs, kvec]
+            return _append_conv_rev_tables(
+                cfg, kw, out, k_conv, k_rev, m, K, dtype
+            )
         # same key slots as implicit_single_auction / explicit_auction
         # (k_imp for the win binomial); k_cost's aggregate site is
         # split(k_cost)[0], its lane-resolution site split(k_cost)[1]
@@ -831,7 +900,13 @@ def _cell_tables(
                 -y0[None, :], y0[None, :], (lite, K), bits=cfg.lane_bits,
             )
             lite_costs = jnp.round(jnp.abs(tr0) * 100.0).astype(cents_dtype)
-        out = [impressions, n_clicks, s_full, lite_costs]
+        # trailing zeros: the per-cell aux table (bidder counts) only the
+        # pool model populates — kept in the tuple so gate plumbing is
+        # uniform across agg models
+        out = [
+            impressions, n_clicks, s_full, lite_costs,
+            jnp.zeros((K,), jnp.float32),
+        ]
     else:
         # NB all (M, K) tensors are lane-major: K rides the 128-lane axis
         # (K ~ 100 pads 1.28x vs 2.7x for M ~ 48 on the lane axis)
@@ -855,6 +930,13 @@ def _cell_tables(
             pad = jnp.zeros((1, K), dtype)
         cost_prefix = jnp.concatenate([pad, jnp.cumsum(costs, axis=0)], axis=0)
         out = [impressions, n_clicks, cost_prefix]
+    return _append_conv_rev_tables(cfg, kw, out, k_conv, k_rev, m, K, dtype)
+
+
+def _append_conv_rev_tables(cfg, kw, out, k_conv, k_rev, m, K, dtype):
+    """Shared tail of ``_cell_tables``: the lanes-mode conversion and
+    revenue prefix tables (skipped entirely in counts/sum/day modes,
+    which draw after gating from the same key slots)."""
     if cfg.conv_sampling == "lanes":
         # sellside conversion coinflips (bidding_simulation.py:106-109;
         # coinflips are `u <= p`, synthetic_kw_helpers.py:73-77). Flags are
@@ -942,12 +1024,22 @@ def simulate_day(
     if agg:
         cdt_agg = jnp.int64 if cfg.use_x64 else jnp.int32
         agg_explicit = cfg.kind is KeywordKind.EXPLICIT
+        agg_pool = (
+            cfg.kind is KeywordKind.IMPLICIT
+            and cfg.competitor_model is CompetitorModel.BINOMIAL_POOL
+        )
         # exact per-click cost moments — once per day (bid-dependent,
         # sub-timestep-independent). Units: the agg gate always runs in
         # exact integers — cents for cent-quantized models, DECICENTS for
-        # the continuous rust-quirk explicit model (a documented agg-only
-        # quantization, PARITY.md "Aggregate cost sampling").
-        if agg_explicit:
+        # the continuous rust-quirk explicit and binomial-pool models (a
+        # documented agg-only quantization, PARITY.md "Aggregate cost
+        # sampling").
+        if agg_pool:
+            # moments are conditional on each cell's bidder-count draw,
+            # so they live in the sampling phase (_cell_tables), not here
+            agg_scale = 1000.0
+            cost_moments = None
+        elif agg_explicit:
             if cfg.cost_model is CostModel.RUST_QUIRK:
                 agg_scale = 1000.0
                 cost_moments = dist.cost_create_deci_moments(bids)
@@ -975,7 +1067,7 @@ def simulate_day(
 
         bids_f = jnp.asarray(bids)
 
-        def _resolve_cell(kc, t, k, lite_col, loc, scale, y0, B, nk, m):
+        def _resolve_cell(kc, t, k, lite_col, loc, scale, y0, kj, B, nk, m):
             """Lane-materialize ONE budget-partial cell's cost draws.
 
             The column's first L entries are the already-sampled lite
@@ -993,18 +1085,28 @@ def simulate_day(
             chain stays; PLAN.md "Measured perf (round 4)".) For
             explicit keywords the lane sampler is the parametric cost
             model on the one-hot-read bid (``y0`` carries bid - 0.005;
-            phantom cells never deep-resolve, their s_full is 0).
-            Returns the maximal affordable prefix (accepted clicks,
-            spend in gate units); the spend is the masked cost sum —
-            ``ok`` is a prefix mask, so it equals the prefix at pj."""
+            phantom cells never deep-resolve, their s_full is 0); for
+            the binomial pool it is the conditional max-of-k law on the
+            cell's one-hot-read bidder count ``kj`` (cell_aux). Returns
+            the first-violation-stop prefix (accepted clicks, spend in
+            gate units)."""
             kt = jax.random.fold_in(kc, t)
             k_auc = jax.random.split(kt, 4)[0]
-            k_cost = jax.random.split(k_auc)[1]
+            if agg_pool:
+                k_cost = jax.random.split(k_auc, 3)[2]
+            else:
+                k_cost = jax.random.split(k_auc)[1]
             k_lanes = jax.random.split(k_cost)[1]
             k_rest = jax.random.split(k_lanes)[1]
             k_col = jax.random.fold_in(k_rest, k)
             if m > L_lite:
-                if agg_explicit:
+                if agg_pool:
+                    d = dist.pool_cost_lane_draws(
+                        k_col, y0 + 0.005, loc, scale, kj, (m - L_lite,),
+                        bits=cfg.lane_bits,
+                    )
+                    rest = jnp.round(d * agg_scale).astype(cdt_agg)
+                elif agg_explicit:
                     d = expl_cost_fn(k_col, y0 + 0.005, (m - L_lite,))
                     rest = jnp.round(d * agg_scale).astype(cdt_agg)
                 else:
@@ -1017,8 +1119,13 @@ def simulate_day(
             else:
                 costs = lite_col[:m].astype(cdt_agg)
             csum = jnp.cumsum(costs)
-            ok = (csum <= B) & (jnp.arange(m) < nk)
-            pj = jnp.sum(ok.astype(jnp.int32)).astype(jnp.int32)
+            # stop at the FIRST violating prefix (cumprod) — same as the
+            # feasibility mask for non-negative costs, exact for the
+            # pool model's signed costs
+            ok = jnp.cumprod(
+                ((csum <= B) & (jnp.arange(m) < nk)).astype(jnp.int32)
+            )
+            pj = jnp.sum(ok).astype(jnp.int32)
             sj = jnp.sum(costs * ok.astype(cdt_agg))
             return pj, sj
 
@@ -1036,7 +1143,7 @@ def simulate_day(
             ``t_base + j // K`` and its keyword ``j % K`` (N is K, or a
             ct*K / (T-1)*K lexicographic flattening)."""
 
-            def make(lite_n, t_base, kc, *params):
+            def make(lite_n, aux_n, t_base, kc, *params):
                 if agg_explicit:
                     (bids_r,) = params
                     loc_r = scale_r = None
@@ -1052,12 +1159,15 @@ def simulate_day(
                         loc_j = jnp.sum(jnp.where(hit_k, loc_r, 0.0))
                         scale_j = jnp.sum(jnp.where(hit_k, scale_r, 0.0))
                     y0 = jnp.sum(jnp.where(hit_k, bids_r, 0.0)) - 0.005
+                    # pool: the cell's bidder-count draw, one-hot-read
+                    # from the aux table (zeros for other models)
+                    kj = jnp.sum(jnp.where(hit, aux_n, 0.0))
                     lite_col = jnp.sum(
                         jnp.where(hit[None, :], lite_n, 0), axis=1
                     )
                     return _resolve_cell(
                         kc, t_base + j // kr, j % kr, lite_col,
-                        loc_j, scale_j, y0, B, nk, m,
+                        loc_j, scale_j, y0, kj, B, nk, m,
                     )
 
                 return resolve
@@ -1067,6 +1177,8 @@ def simulate_day(
         gate_params = (
             (bids_f,) if agg_explicit else (bids_f, kw.bid_loc, kw.bid_scale)
         )
+        # (the pool resolver reads loc/scale from the same params and its
+        # bidder count from cell_aux, so no extra pool params are needed)
         _compact = cfg.gate_compact == "auto"
         gate_site0 = _make_agg_gate(
             _make_resolve(cfg.max_clicks_per_cell), gate_mode, _compact,
@@ -1108,9 +1220,10 @@ def simulate_day(
         it = iter(tab)
         imp, ncl, cpre = next(it), next(it), next(it)
         lite = next(it) if agg else None  # agg: (L, K) lite lane costs
+        aux = next(it) if agg else None  # agg: (K,) per-cell aux (pool k)
         vpre = None if counts else next(it)
         rpre = None if no_rev_table else next(it)
-        return imp, ncl, cpre, lite, vpre, rpre
+        return imp, ncl, cpre, lite, aux, vpre, rpre
 
     tab0 = _cell_tables(
         cfg, k_cells, kw, bids, jnp.asarray(0), n_auctions[0],
@@ -1118,7 +1231,7 @@ def simulate_day(
         lite_lanes=L_lite if agg else 0,
         agg_scale=agg_scale if agg else 100.0,
     )
-    imp0, ncl0, cpre0, lite0, vpre0, rpre0 = _unpack(tab0)
+    imp0, ncl0, cpre0, lite0, aux0, vpre0, rpre0 = _unpack(tab0)
     if T > 1:
         # gate_scope="global" wants lane-major stacked tables (the (T-1, K)
         # cell grid flattens to lexicographic order for free); "per_t"
@@ -1127,11 +1240,13 @@ def simulate_day(
         # lite table is lane-major like the prefix tables.
         pax = 1 if cfg.gate_scope == "global" else 0
         axes = (0, 0, 0 if agg else pax)
-        axes += (pax,) if agg else ()
+        axes += (pax, 0) if agg else ()  # lite table, aux table
         axes += () if counts else (pax,)
         axes += () if no_rev_table else (pax,)
         imp_ladder1 = None
-        if agg and cfg.binomial_sampler == "inversion":
+        if agg and cfg.binomial_sampler == "inversion" and not agg_pool:
+            # (pool: the win probability depends on each cell's bidder
+            # draw, so there is no day-constant ladder to hoist)
             # every tier-1 sub-timestep runs exactly vol//T auctions with
             # the same day-constant win probability: build the auction
             # binomial's CDF ladder once (dist.binomial_cdf) instead of
@@ -1158,12 +1273,12 @@ def simulate_day(
             ),
             out_axes=axes,
         )(jnp.arange(1, T), n_auctions[1:])
-        imp1, ncl1, cpre1, lite1, vpre1, rpre1 = _unpack(tabs1)
+        imp1, ncl1, cpre1, lite1, aux1, vpre1, rpre1 = _unpack(tabs1)
 
     # ---- phase 2: the budget gate ----
     if agg:
         (b, broken), (acc0, spend0, sim0) = gate_site0(
-            init_b, jnp.asarray(False), cpre0, lite0, ncl0,
+            init_b, jnp.asarray(False), cpre0, lite0, ncl0, aux0,
             jnp.asarray(0, jnp.int32), k_cells, *gate_params,
         )
     else:
@@ -1177,7 +1292,8 @@ def simulate_day(
                 lite1f = lite1.reshape(L_lite, t1 * K)
                 (b, broken), (acc1f, spend1f, sim1f) = gate_site1(
                     b, broken, cpre1.reshape(t1 * K), lite1f,
-                    ncl1.reshape(t1 * K), jnp.asarray(1, jnp.int32),
+                    ncl1.reshape(t1 * K), aux1.reshape(t1 * K),
+                    jnp.asarray(1, jnp.int32),
                     k_cells, *gate_params,
                 )
                 acc1 = acc1f.reshape(t1, K)
@@ -1195,7 +1311,7 @@ def simulate_day(
                 ct = min(cfg.gate_chunk_t, t1)
                 G = -(-t1 // ct)
                 pad = G * ct - t1
-                sf1, nc1, lt1 = cpre1, ncl1, lite1
+                sf1, nc1, lt1, ax1 = cpre1, ncl1, lite1, aux1
                 if pad:
                     sf1 = jnp.concatenate(
                         [sf1, jnp.zeros((pad, K), sf1.dtype)])
@@ -1203,36 +1319,41 @@ def simulate_day(
                         [nc1, jnp.zeros((pad, K), nc1.dtype)])
                     lt1 = jnp.concatenate(
                         [lt1, jnp.zeros((pad, L_lite, K), lt1.dtype)])
+                    ax1 = jnp.concatenate(
+                        [ax1, jnp.zeros((pad, K), ax1.dtype)])
                 sf1 = sf1.reshape(G, ct * K)
                 nc1 = nc1.reshape(G, ct * K)
+                ax1 = ax1.reshape(G, ct * K)
                 lt1 = lt1.reshape(G, ct, L_lite, K).transpose(
                     0, 2, 1, 3).reshape(G, L_lite, ct * K)
 
                 def gate_chunk(carry, xs):
-                    sf_g, lt_g, nc_g, g = xs
+                    sf_g, lt_g, nc_g, ax_g, g = xs
                     return gate_site1(
-                        carry[0], carry[1], sf_g, lt_g, nc_g,
+                        carry[0], carry[1], sf_g, lt_g, nc_g, ax_g,
                         1 + g * ct, k_cells, *gate_params,
                     )
 
                 (b, broken), (acc1f, spend1f, sim1f) = lax.scan(
                     gate_chunk, (b, broken),
-                    (sf1, lt1, nc1, jnp.arange(G)),
+                    (sf1, lt1, nc1, ax1, jnp.arange(G)),
+                    unroll=min(cfg.gate_scan_unroll, G),
                 )
                 acc1 = acc1f.reshape(G * ct, K)[:t1]
                 spend1 = spend1f.reshape(G * ct, K)[:t1]
                 sim1 = sim1f.reshape(G * ct, K)[:t1]
             else:
                 def gate_body(carry, xs):
-                    sfull_t, lite_t, ncl_t, t = xs
+                    sfull_t, lite_t, ncl_t, aux_t, t = xs
                     return gate_site1(
-                        carry[0], carry[1], sfull_t, lite_t, ncl_t,
+                        carry[0], carry[1], sfull_t, lite_t, ncl_t, aux_t,
                         t, k_cells, *gate_params,
                     )
 
                 (b, broken), (acc1, spend1, sim1) = lax.scan(
                     gate_body, (b, broken),
-                    (cpre1, lite1, ncl1, jnp.arange(1, T)),
+                    (cpre1, lite1, ncl1, aux1, jnp.arange(1, T)),
+                    unroll=min(cfg.gate_scan_unroll, T - 1),
                 )
         elif cfg.gate_scope == "global":
             m1p = cpre1.shape[0]

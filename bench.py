@@ -71,6 +71,7 @@ def bench_cfg(max_volume: int = 576, kind: str = "implicit"):
         gate_compact=os.environ.get("BENCH_COMPACT", "auto"),
         gate_compact_phase_a=int(os.environ.get("BENCH_PHASE_A", "0")),
         gate_compact_cap=int(os.environ.get("BENCH_COMPACT_CAP", "0")),
+        gate_scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
     )
 
 
@@ -81,17 +82,20 @@ def measure(cfg, num_envs: int, table, steps: int = STEPS,
     silently inflating throughput ~400x).
 
     ``dispatch`` picks how days are driven:
-      "scan"     (default) the whole timing window is ONE device program
+      "percall"  (default) a Python loop of day steps, one dispatch per
+                 day — the interactive/gym-adapter shape and the r1-r4
+                 measurement protocol. Measured FASTER than scan through
+                 the async tunnel (13.3 vs 13.9 ms/step in-process):
+                 dispatch pipelines for free, and the scan pays a small
+                 per-day output-stacking cost.
+      "scan"     the whole timing window is ONE device program
                  (VectorBiddingEnv.rollout, lax.scan over days) — the
-                 shape RL rollouts use (agents/ppo.py) and free of
-                 per-day host->device dispatch;
-      "percall"  a Python loop of day steps, one dispatch per day — the
-                 interactive/gym-adapter shape (rounds 1-4 measured this;
-                 through the tunneled backend each call pays several ms).
+                 shape RL rollouts use (agents/ppo.py); reported as an
+                 extra.
     """
     from adcraft_tpu.env import VectorBiddingEnv
 
-    dispatch = dispatch or os.environ.get("BENCH_DISPATCH", "scan")
+    dispatch = dispatch or os.environ.get("BENCH_DISPATCH", "percall")
     venv = VectorBiddingEnv(cfg, num_envs, table=table)
     key = jax.random.PRNGKey(0)
     state, _ = venv.reset(key)
@@ -136,7 +140,7 @@ def main() -> None:
     headline = measure(cfg, NUM_ENVS, dense) / n_chips
     note(f"headline {NUM_ENVS} envs: {headline:.1f} env-steps/s/chip")
     out = {
-        "dispatch": os.environ.get("BENCH_DISPATCH", "scan"),
+        "dispatch": os.environ.get("BENCH_DISPATCH", "percall"),
         "metric": "env_steps_per_sec_per_chip",
         "value": round(headline, 1),
         "unit": "env-steps/s/chip",
@@ -164,15 +168,16 @@ def main() -> None:
         # connection (observed) must not cost the already-measured
         # headline. Failures are noted in the JSON.
         try:
-            # the rounds-1..4 dispatch shape (one device call per day) for
-            # continuity; the difference vs the headline is the per-day
-            # host dispatch cost (VERDICT r4 item 6)
-            percall = measure(cfg, NUM_ENVS, dense, dispatch="percall") / n_chips
-            out["per_call_dispatch"] = round(percall, 1)
-            note(f"per-call dispatch variant: {percall:.1f}")
+            # the in-program rollout shape (one lax.scan program per
+            # timing window — how RL consumes the env); the delta vs the
+            # headline bounds per-day dispatch cost (VERDICT r4 item 6:
+            # measured ~zero through the async tunnel)
+            scan_v = measure(cfg, NUM_ENVS, dense, dispatch="scan") / n_chips
+            out["scan_rollout"] = round(scan_v, 1)
+            note(f"scan-rollout dispatch variant: {scan_v:.1f}")
         except Exception as exc:  # pragma: no cover - tunnel flakiness
-            out["per_call_error"] = repr(exc)[:200]
-            note(f"per-call variant failed: {exc!r}")
+            out["scan_rollout_error"] = repr(exc)[:200]
+            note(f"scan variant failed: {exc!r}")
 
         try:
             # env-batch scaling (VERDICT r1 item 6)
@@ -211,6 +216,23 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover - tunnel flakiness
             out["regimes_explicit_error"] = repr(exc)[:200]
             note(f"explicit regime failed: {exc!r}")
+
+        try:
+            # the reference's DEFAULT ImplicitKeyword — binomial-pool
+            # competitors — on the agg fast path (round-5 pool moments;
+            # VERDICT r4 Weak #4)
+            from adcraft_tpu.config import CompetitorModel
+
+            pool_cfg = bench_cfg().replace(
+                competitor_model=CompetitorModel.BINOMIAL_POOL
+            )
+            out["regimes"]["dense_pool"] = round(
+                measure(pool_cfg, NUM_ENVS, dense) / n_chips, 1
+            )
+            note(f"dense pool regime: {out['regimes']['dense_pool']}")
+        except Exception as exc:  # pragma: no cover - tunnel flakiness
+            out["regimes_pool_error"] = repr(exc)[:200]
+            note(f"pool regime failed: {exc!r}")
 
         try:
             # PRNG roofline: words/day and the measured threefry rate bound

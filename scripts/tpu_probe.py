@@ -38,6 +38,10 @@ def time_step(tag):
     from adcraft_tpu.env import VectorBiddingEnv
     from adcraft_tpu.quantiles import simple_experiment_table
 
+    # env-count read per variant so "BENCH_NUM_ENVS=8192+full" A/Bs batch
+    # scaling INSIDE one bracketed process (the only trustworthy kind of
+    # comparison through the drifting tunnel)
+    n_envs = int(os.environ.get("BENCH_NUM_ENVS", 4096))
     # mirror bench.py's config (same env knobs) so "full" hits the warm
     # compile cache and ablations decompose the actual bench path
     cfg = EnvConfig(
@@ -58,12 +62,13 @@ def time_step(tag):
         gate_compact=os.environ.get("BENCH_COMPACT", "auto"),
         gate_compact_phase_a=int(os.environ.get("BENCH_PHASE_A", "0")),
         gate_compact_cap=int(os.environ.get("BENCH_COMPACT_CAP", "0")),
+        gate_scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
     )
     table = simple_experiment_table(128, 0.8)
-    venv = VectorBiddingEnv(cfg, NUM_ENVS, table=table)
+    venv = VectorBiddingEnv(cfg, n_envs, table=table)
     key = jax.random.PRNGKey(0)
     state, _ = venv.reset(key)
-    bids = jnp.full((NUM_ENVS, NUM_KEYWORDS), 1.0, jnp.float32)
+    bids = jnp.full((n_envs, NUM_KEYWORDS), 1.0, jnp.float32)
 
     # PROBE_DISPATCH=scan rolls the whole STEPS-day window into one
     # device program (VectorBiddingEnv.rollout) — isolates per-call
@@ -97,7 +102,7 @@ def time_step(tag):
         windows.append(time.perf_counter() - t0)
     dt = min(windows)
     print(
-        f"PROBE {tag}: {NUM_ENVS * STEPS / dt:.1f} env-steps/s "
+        f"PROBE {tag}: {n_envs * STEPS / dt:.1f} env-steps/s "
         f"({dt / STEPS * 1e3:.1f} ms/step min of "
         f"{[round(w / STEPS * 1e3, 1) for w in windows]}, "
         f"compile+warm {compile_s:.1f}s)",
@@ -286,6 +291,26 @@ def patch_noresolve_agg():
     step_mod._make_agg_gate = factory
 
 
+def patch_oldepi():
+    """Restore the round-4 epilogue (cumsum+cumprod+cumsum) — A/B of the
+    round-5 single-cumsum epilogue."""
+    import adcraft_tpu.step as step_mod
+
+    def old_epilogue(budget0, broken0, spend, p):
+        zero = jnp.zeros((), spend.dtype)
+        nb = budget0 - jnp.cumsum(spend)
+        alive = jnp.cumprod((nb > 0).astype(jnp.int32))
+        sim = ~broken0 & jnp.concatenate(
+            [jnp.ones((1,), bool), alive[:-1].astype(bool)]
+        )
+        spend = jnp.where(sim, spend, zero)
+        p = jnp.where(sim, p, 0)
+        b_path = budget0 - jnp.cumsum(spend)
+        return (b_path[-1], broken0 | jnp.any(b_path <= 0)), (p, spend, sim)
+
+    step_mod._lazy_agg_epilogue = old_epilogue
+
+
 def patch_nocompact():
     """Force gate_compact off (the round-4 lockstep batched gate) without
     a new config — in-process A/B of the straggler compaction."""
@@ -404,6 +429,8 @@ def _apply(part):
         patch_nogate_agg()
     elif part == "nocompact":
         patch_nocompact()
+    elif part == "oldepi":
+        patch_oldepi()
     elif part.startswith("compact"):
         spec = part[len("compact"):]
         if "p" in spec:
@@ -443,6 +470,7 @@ def _snapshot():
         (step_mod, "_gate_keywords_lazy_agg"): step_mod._gate_keywords_lazy_agg,
         (step_mod, "_make_agg_gate"): step_mod._make_agg_gate,
         (step_mod, "_lazy_agg_loop"): step_mod._lazy_agg_loop,
+        (step_mod, "_lazy_agg_epilogue"): step_mod._lazy_agg_epilogue,
         (step_mod, "_gate_keywords_lazy"): step_mod._gate_keywords_lazy,
         (step_mod, "_gate_keywords_jacobi"): step_mod._gate_keywords_jacobi,
         (dist_mod, "binomial"): dist_mod.binomial,

@@ -424,3 +424,42 @@ def test_binomial_inv_agrees_with_hoisted_ladder(key):
         assert mismatch < 1e-3, (bits, mismatch)
         # and any mismatch is a +-1 tie flip, never structural
         assert np.max(np.abs(a - b)) <= 1, bits
+
+
+@pytest.mark.unit
+def test_pool_cost_deci_moments_vs_brute_force():
+    """Quadrature moments of the pool model's conditional per-click cost
+    (max of k truncated Laplaces; distributions.pool_cost_deci_moments)
+    must match seeded Monte Carlo through the same inverse-CDF law,
+    including the k==0 and k<3 quirks."""
+    import numpy as onp
+
+    rng = onp.random.default_rng(0)
+    bid, loc, scale = 1.0, 0.4, 0.35
+
+    def F(x):
+        z = (x - loc) / scale
+        return onp.where(z < 0, 0.5 * onp.exp(z), 1 - 0.5 * onp.exp(-z))
+
+    def Finv(u):
+        return loc + scale * onp.where(
+            u < 0.5, onp.log(2 * u), -onp.log(2 * (1 - u))
+        )
+
+    fb = F(onp.asarray(bid))
+    for k in (0, 1, 2, 3, 5, 10, 30):
+        mu_d, sig_d, cmax = dist.pool_cost_deci_moments(
+            bid, loc, scale, float(k)
+        )
+        if k == 0:
+            assert float(mu_d) == 0.0 and float(sig_d) == 0.0
+            continue
+        u = rng.random(400_000)
+        m = Finv(onp.clip(fb * u ** (1.0 / k), 1e-38, 1 - 1e-12))
+        if k < 3:
+            m = onp.maximum(m, 0.0)
+        bm = m.mean() * 1000
+        bs = onp.sqrt(m.var() * 1e6 + 1.0 / 12.0)
+        assert abs(float(mu_d) - bm) < max(3.0, 0.01 * abs(bm)), (k, mu_d, bm)
+        assert abs(float(sig_d) - bs) < max(3.0, 0.02 * bs), (k, sig_d, bs)
+        assert float(cmax) == round(1000 * bid)

@@ -940,3 +940,74 @@ def test_rev_day_matches_sum_distribution():
         ra.std() + rb.std()
     ) / np.sqrt(len(keys)) + 0.05
     assert abs(ra.std() - rb.std()) / max(ra.std(), 1e-6) < 0.2
+
+
+@pytest.mark.unit
+def test_pool_cost_agg_matches_scan_and_lanes():
+    """cost_sampling="agg" for the BINOMIAL_POOL competitor model
+    (VERDICT r4 Weak #4): the reference's *default* ImplicitKeyword now
+    rides the fast gate. Checks: (a) lazy-agg vs sequential scan-agg
+    bit-identity across budgets/scopes (signed-cost first-violation
+    masks included); (b) vs the lanes path — impressions and clicks
+    bit-identical (same k_bidders/k_imp key structure), per-keyword day
+    cost mean/std matching to CLT tolerance under an unbinding budget;
+    (c) spend <= budget when binding and compaction invariance."""
+    kw = implicit_kw(8, 3)
+    kw = kw._replace(
+        max_bidders=jnp.full((8,), 30.0),
+        participation_rate=jnp.full((8,), 0.6),
+    )
+    bids = jnp.full((8,), 1.0)
+    base = IMPLICIT_CFG.replace(
+        num_keywords=8,
+        competitor_model=CompetitorModel.BINOMIAL_POOL,
+        conv_sampling="counts", rev_sampling="sum",
+        binomial_sampler="inversion", lane_bits=32,
+    )
+    keys = jax.random.split(jax.random.PRNGKey(11), 256)
+
+    def make(cfg, budget):
+        return jax.jit(
+            jax.vmap(
+                lambda k, _c=cfg: simulate_day(
+                    _c, k, kw, bids, jnp.asarray(budget, jnp.float32)
+                )
+            )
+        )
+
+    for scope in ("chunk", "per_t"):
+        for budget in (0.5, 3.0, 20.0):
+            cl = base.replace(
+                cost_sampling="agg", gate_mode="lazy", gate_scope=scope
+            )
+            cs = base.replace(
+                cost_sampling="agg", gate_mode="scan",
+                gate_scope="per_t" if scope == "chunk" else scope,
+            )
+            a = jax.tree.map(np.asarray, make(cl, budget)(keys[:64]))
+            b = jax.tree.map(np.asarray, make(cs, budget)(keys[:64]))
+            for f, x, y in zip(a._fields, a, b):
+                np.testing.assert_array_equal(
+                    x, y, err_msg=f"pool {scope} {budget} {f}"
+                )
+
+    cfg_lanes = base.replace(cost_sampling="lanes")
+    cfg_agg = base.replace(cost_sampling="agg", gate_scope="chunk")
+    A = jax.tree.map(np.asarray, make(cfg_lanes, 1000.0)(keys))
+    B = jax.tree.map(np.asarray, make(cfg_agg, 1000.0)(keys))
+    np.testing.assert_array_equal(A.impressions, B.impressions)
+    np.testing.assert_array_equal(A.buyside_clicks, B.buyside_clicks)
+    np.testing.assert_allclose(
+        A.cost.mean(axis=0), B.cost.mean(axis=0), rtol=0.05, atol=0.05
+    )
+    np.testing.assert_allclose(
+        A.cost.std(axis=0), B.cost.std(axis=0), rtol=0.25, atol=0.1
+    )
+
+    for budget in (0.5, 2.0):
+        g1 = make(cfg_agg, budget)(keys[:96])
+        g2 = make(cfg_agg.replace(gate_compact="off"), budget)(keys[:96])
+        for x, y in zip(g1, g2):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        tot = np.asarray(g1.cost.sum(axis=1))
+        assert (tot <= budget + 1e-5).all(), tot.max()
