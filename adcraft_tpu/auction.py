@@ -73,6 +73,26 @@ def cell_binomial_fn(cfg: EnvConfig, max_clicks: int):
     return dist.binomial
 
 
+def bidder_binomial_fn(cfg: EnvConfig):
+    """The sampler for the pool model's per-cell bidder-count draw.
+
+    Bounded by ``cfg.max_bidders_bound`` (not the click buffer), so the
+    inversion walk applies under binomial_sampler="inversion" — the
+    exact sampler's rejection while-loops run lockstep across the
+    vmapped batch and measured ~40 ms/step at bench shape. Stream
+    changes with the flag, like every other inversion site (PARITY.md
+    "Inversion binomial sampling")."""
+    if cfg.binomial_sampler == "inversion":
+        def bfn(key, n, p, shape=None):
+            return dist.binomial_inv(
+                key, n, p, nmax=cfg.max_bidders_bound, bits=cfg.lane_bits,
+                shape=shape,
+            )
+
+        return bfn
+    return dist.binomial
+
+
 def _single_abs_cents_win_threshold(bid: Array) -> Array:
     """|Laplace| threshold equivalent to beating a cents-rounded competitor.
 
@@ -147,6 +167,7 @@ def implicit_pool_auction(
     max_clicks: int,
     dtype=jnp.float32,
     binomial_fn=dist.binomial,
+    bidder_fn=dist.binomial,
 ) -> CellAuction:
     """Binomial-pool implicit auction (``ImplicitKeyword`` defaults).
 
@@ -159,7 +180,7 @@ def implicit_pool_auction(
     top-3 array (synthetic_kw_helpers.py:153-161).
     """
     k_bidders, k_imp, k_cost = jax.random.split(key, 3)
-    k = dist.binomial(k_bidders, max_bidders, participation_rate).astype(jnp.float32)
+    k = bidder_fn(k_bidders, max_bidders, participation_rate).astype(jnp.float32)
 
     f_bid = dist.laplace_cdf(bid, bid_loc, bid_scale)
     p_win = jnp.where(k > 0, f_bid ** jnp.maximum(k, 1.0), 1.0)
@@ -367,4 +388,5 @@ def run_cell_auctions(
         m,
         dtype=dtype,
         binomial_fn=bfn,
+        bidder_fn=bidder_binomial_fn(cfg),
     )

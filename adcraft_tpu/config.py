@@ -253,6 +253,23 @@ class EnvConfig:
     # negligible against the PRNG bound; PLAN.md "Perf model").
     agg_lite_lanes: int = 4
 
+    # Static bound for the binomial-pool bidder-count draw when
+    # binomial_sampler="inversion": the one-uniform CDF walk unrolls
+    # this many levels (the reference's ImplicitKeyword default is
+    # max_bidders=30; the exact rejection sampler's lockstep while
+    # loops under vmap measured ~40 ms/step at bench shape). Counts
+    # for keywords with max_bidders > this bound would truncate — keep
+    # it above your largest max_bidders.
+    max_bidders_bound: int = 64
+
+    # Bit width of the uniform behind each AGGREGATE spend draw under
+    # cost_sampling="agg": 32 (default; jax.random.normal) or 16 (ndtri
+    # of a half-word uniform — tails cut at ~4.17 sigma and the density
+    # step-quantized, both far below the CLT error the aggregate draw
+    # already carries; PARITY.md "Aggregate cost sampling"). bench.py
+    # uses 16.
+    agg_draw_bits: int = 32
+
     # Bit width of the uniform driving each implicit-single cost lane draw:
     # 32 (default; full jax.random.uniform words) or 16 (two lane draws per
     # threefry word — the inverse-CDF input is quantized to 2^-16, which
@@ -323,6 +340,10 @@ class EnvConfig:
             raise ValueError("gate_scan_unroll must be >= 1")
         if self.lane_bits not in (16, 32):
             raise ValueError("lane_bits must be 16 or 32")
+        if self.agg_draw_bits not in (16, 32):
+            raise ValueError("agg_draw_bits must be 16 or 32")
+        if self.max_bidders_bound < 1:
+            raise ValueError("max_bidders_bound must be >= 1")
         if self.binomial_sampler not in ("exact", "inversion"):
             raise ValueError("binomial_sampler must be 'exact' or 'inversion'")
 

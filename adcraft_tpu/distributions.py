@@ -339,6 +339,21 @@ def uniform16(key: Array, shape, dtype=jnp.float32) -> Array:
     return (bits.astype(dtype) + 0.5) * (1.0 / 65536.0)
 
 
+def normal16(key: Array, shape, dtype=jnp.float32) -> Array:
+    """Standard normals from 16-bit uniforms (half a threefry word each).
+
+    ``ndtri`` of the midpoint-mapped 16-bit uniform: the value grid has
+    ~2^-16 probability resolution, so tails are cut at +-4.17 sigma
+    (P ~ 1.5e-5 per side) and the density is step-quantized — far below
+    the CLT error of the aggregate draws this feeds
+    (``EnvConfig.agg_draw_bits=16``; PARITY.md). Mean stays exactly 0 by
+    the symmetry of the midpoint grid.
+    """
+    from jax.scipy.special import ndtri
+
+    return ndtri(uniform16(key, shape, dtype))
+
+
 def censored_normal_moments(mean: Array, std: Array, low) -> tuple:
     """Exact mean/std of ``max(N(mean, std), low)`` (censored normal).
 
@@ -658,7 +673,7 @@ def single_cost_cent_moments_closed(bid: Array, loc: Array, scale: Array):
 
 def agg_cost_cents(
     key: Array, n_clicks: Array, mu: Array, sigma: Array, cmax: Array,
-    cents_dtype, cmin: Array = None,
+    cents_dtype, cmin: Array = None, bits: int = 32,
 ) -> Array:
     """One aggregate spend draw per cell, in integer cents.
 
@@ -674,7 +689,10 @@ def agg_cost_cents(
     "Aggregate cost sampling").
     """
     n = n_clicks.astype(jnp.float32)
-    z = jax.random.normal(key, n_clicks.shape, dtype=jnp.float32)
+    if bits == 16:
+        z = normal16(key, n_clicks.shape)
+    else:
+        z = jax.random.normal(key, n_clicks.shape, dtype=jnp.float32)
     s = jnp.round(n * mu + jnp.sqrt(n) * sigma * z)
     lo = 0.0 if cmin is None else n * cmin
     s = jnp.clip(s, lo, n * cmax)

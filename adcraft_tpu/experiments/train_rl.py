@@ -153,6 +153,15 @@ def main() -> None:
         table=experiment_table(env_config),
     )
     state = trainer.init(jax.random.PRNGKey(args.seed))
+    untrained_eval = None
+    if args.out:
+        # the init-policy score: the floor against which the trained
+        # policy's eval numbers are read
+        untrained_eval = evaluate(
+            trainer, state.params, jax.random.PRNGKey(999), num_envs=32,
+            eval_days=eval_days,
+        )
+        print(json.dumps({"untrained": untrained_eval}), flush=True)
     if args.restore:
         from adcraft_tpu.checkpoint import restore_checkpoint
 
@@ -202,6 +211,7 @@ def main() -> None:
             "rollout_days": args.rollout_days,
             "seed": args.seed,
             "curve": curve,
+            "untrained": untrained_eval,
             "final": final_eval,
             "baseline_zero_margin": {"AKNCP": zm_akncp, "NCP": zm_ncp},
             "backend": jax.default_backend(),

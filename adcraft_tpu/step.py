@@ -719,7 +719,16 @@ def _make_agg_gate(
             sub = finish(take(state), *(take(a) for a in loop_args))
             return jax.tree.map(lambda a, s: a.at[idx].set(s), state, sub)
 
-        state = lax.cond(n_strag <= S, run_compact, run_full, state)
+        def run_any(state):
+            return lax.cond(n_strag <= S, run_compact, run_full, state)
+
+        # quiet-call fast path: when warm init converged EVERY env (the
+        # common case away from the budget-break chunk, and every call
+        # in budget-unconstrained regimes) skip the gather/loop/scatter
+        # machinery entirely — this is what keeps the compaction rule
+        # from taxing configs whose gates never bind (a measured ~25%
+        # sparse-regime regression before this branch existed)
+        state = lax.cond(n_strag == 0, lambda s: s, run_any, state)
         if _GATE_STATS_HOOK is not None:
             _GATE_STATS_HOOK(state[5])
         outs = jax.vmap(_lazy_agg_epilogue)(b0, br0, state[0], state[1])
@@ -807,8 +816,10 @@ def _cell_tables(
             # once per cell, reference synthetic_kw_classes.py:621), so
             # the k-correlation of a cell's clicks is preserved exactly
             # at the aggregate level
+            from adcraft_tpu.auction import bidder_binomial_fn
+
             k_bidders, k_imp, k_cost = jax.random.split(k_auc, 3)
-            kvec = dist.binomial(
+            kvec = bidder_binomial_fn(cfg)(
                 k_bidders, kw.max_bidders, kw.participation_rate
             ).astype(jnp.float32)
             f_bid = dist.laplace_cdf(bids, kw.bid_loc, kw.bid_scale)
@@ -826,7 +837,7 @@ def _cell_tables(
             cmin_c = jnp.where(kvec >= 3.0, -cmax_c, 0.0)
             s_full = dist.agg_cost_cents(
                 k_sfull, n_clicks, mu_c, sig_c, cmax_c, cents_dtype,
-                cmin=cmin_c,
+                cmin=cmin_c, bits=cfg.agg_draw_bits,
             )
             k_lite = jax.random.split(k_lanes)[0]
             d0 = dist.pool_cost_lane_draws(
@@ -874,7 +885,8 @@ def _cell_tables(
         k_sfull, k_lanes = jax.random.split(k_cost)
         mu_c, sig_c, cmax_c = cost_moments
         s_full = dist.agg_cost_cents(
-            k_sfull, n_clicks, mu_c, sig_c, cmax_c, cents_dtype
+            k_sfull, n_clicks, mu_c, sig_c, cmax_c, cents_dtype,
+            bits=cfg.agg_draw_bits,
         )
         # each cell's FIRST L per-click costs (the "lite" lane table),
         # from the lane stream's dedicated lite key (split(k_lanes)[0]) —
@@ -1570,18 +1582,16 @@ def update_keywords(
     drift reference (see KeywordState.vol_drift_ref), clipped nonnegative;
     ctr and cvr take uniform multiplicative steps, clipped to [0, 1].
     """
-    k_vol, k_ctr, k_cvr = jax.random.split(key, 3)
     K = kw.num_keywords
     u = cfg.updater
-    vol_step = jax.random.uniform(
-        k_vol, (K,), minval=-u.vol_scale, maxval=u.vol_scale
-    )
-    ctr_step = jax.random.uniform(
-        k_ctr, (K,), minval=-u.ctr_scale, maxval=u.ctr_scale
-    )
-    cvr_step = jax.random.uniform(
-        k_cvr, (K,), minval=-u.cvr_scale, maxval=u.cvr_scale
-    )
+    # one (3, K) uniform draw instead of three keyed (K,) draws — the
+    # same U(-s, s) law per slot (drift parity is distributional,
+    # tests/test_parity.py), one threefry call instead of a 3-way split
+    # plus three
+    u3 = jax.random.uniform(key, (3, K), minval=-1.0, maxval=1.0)
+    vol_step = u3[0] * u.vol_scale
+    ctr_step = u3[1] * u.ctr_scale
+    cvr_step = u3[2] * u.cvr_scale
     mask = kw.updater_mask
     new_vol = dist.nonnegify(kw.vol_mean + vol_step * kw.vol_drift_ref)
     new_bctr = dist.probify(kw.bctr * (1.0 + ctr_step))

@@ -72,6 +72,7 @@ def bench_cfg(max_volume: int = 576, kind: str = "implicit"):
         gate_compact_phase_a=int(os.environ.get("BENCH_PHASE_A", "0")),
         gate_compact_cap=int(os.environ.get("BENCH_COMPACT_CAP", "0")),
         gate_scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
+        agg_draw_bits=int(os.environ.get("BENCH_AGG_BITS", "32")),
     )
 
 

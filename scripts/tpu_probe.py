@@ -63,6 +63,7 @@ def time_step(tag):
         gate_compact_phase_a=int(os.environ.get("BENCH_PHASE_A", "0")),
         gate_compact_cap=int(os.environ.get("BENCH_COMPACT_CAP", "0")),
         gate_scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
+        agg_draw_bits=int(os.environ.get("BENCH_AGG_BITS", "32")),
     )
     table = simple_experiment_table(128, 0.8)
     venv = VectorBiddingEnv(cfg, n_envs, table=table)

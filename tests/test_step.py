@@ -527,16 +527,16 @@ def test_cost_agg_spend_matches_lanes_under_binding_budget():
 
 @pytest.mark.unit
 def test_cost_agg_config_validation():
-    """Config validation: agg needs closed-form per-click cost moments —
-    implicit SINGLE_ABS_CENTS or explicit (either cost model); the
-    binomial-pool competitor model is rejected."""
+    """Config validation: every keyword/competitor model accepts agg as
+    of round 5 (explicit since r4, the binomial pool via per-cell
+    conditional quadrature moments since r5); injected-draw parity
+    still requires the lanes modes."""
     EnvConfig(kind=KeywordKind.EXPLICIT, cost_sampling="agg")  # allowed (r4)
-    with pytest.raises(ValueError):
-        EnvConfig(
-            kind=KeywordKind.IMPLICIT,
-            competitor_model=CompetitorModel.BINOMIAL_POOL,
-            cost_sampling="agg",
-        )
+    EnvConfig(  # allowed (r5): pool rides the agg fast path
+        kind=KeywordKind.IMPLICIT,
+        competitor_model=CompetitorModel.BINOMIAL_POOL,
+        cost_sampling="agg",
+    )
     with pytest.raises(ValueError):
         sample_day_draws(
             IMPLICIT_CFG.replace(cost_sampling="agg"),
@@ -1011,3 +1011,36 @@ def test_pool_cost_agg_matches_scan_and_lanes():
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
         tot = np.asarray(g1.cost.sum(axis=1))
         assert (tot <= budget + 1e-5).all(), tot.max()
+
+
+@pytest.mark.unit
+def test_agg_draw_bits16_distribution():
+    """agg_draw_bits=16 (ndtri of half-word uniforms behind the
+    aggregate spend draws) must leave upstream streams bit-identical and
+    match the 32-bit spend distribution to CLT/quantization tolerance."""
+    kw = implicit_kw(IMPLICIT_CFG.num_keywords, 14)
+    bids = jnp.full((IMPLICIT_CFG.num_keywords,), 1.0)
+    keys = jax.random.split(jax.random.PRNGKey(5), 512)
+    outs = {}
+    for bits in (32, 16):
+        cfg = IMPLICIT_CFG.replace(
+            cost_sampling="agg", conv_sampling="counts",
+            rev_sampling="sum", gate_scope="chunk", agg_draw_bits=bits,
+        )
+        f = jax.jit(
+            jax.vmap(
+                lambda k, _c=cfg: simulate_day(
+                    _c, k, kw, bids, jnp.asarray(1000.0, jnp.float32)
+                )
+            )
+        )
+        outs[bits] = jax.tree.map(np.asarray, f(keys))
+    a, b = outs[32], outs[16]
+    np.testing.assert_array_equal(a.impressions, b.impressions)
+    np.testing.assert_array_equal(a.buyside_clicks, b.buyside_clicks)
+    np.testing.assert_allclose(
+        a.cost.mean(axis=0), b.cost.mean(axis=0), rtol=0.03, atol=0.03
+    )
+    np.testing.assert_allclose(
+        a.cost.std(axis=0), b.cost.std(axis=0), rtol=0.2, atol=0.05
+    )
