@@ -76,15 +76,18 @@ def cell_binomial_fn(cfg: EnvConfig, max_clicks: int):
 def bidder_binomial_fn(cfg: EnvConfig):
     """The sampler for the pool model's per-cell bidder-count draw.
 
-    Bounded by ``cfg.max_bidders_bound`` (not the click buffer), so the
-    inversion walk applies under binomial_sampler="inversion" — the
-    exact sampler's rejection while-loops run lockstep across the
-    vmapped batch and measured ~40 ms/step at bench shape. Stream
-    changes with the flag, like every other inversion site (PARITY.md
-    "Inversion binomial sampling")."""
+    Bounded by ``cfg.max_bidders_bound`` (not the click buffer). Under
+    binomial_sampler="inversion" this uses the EXACT Bernoulli-sum
+    sampler (one masked flip per potential bidder, fully parallel)
+    rather than the sequential inversion walk: the exact rejection
+    sampler's lockstep while-loops and the 64-level walk's unfusable
+    dependency chain both measured tens of ms/step at bench shape
+    (PLAN.md "Measured perf (round 5)"). Stream changes with the flag,
+    like every other inversion site (PARITY.md "Inversion binomial
+    sampling")."""
     if cfg.binomial_sampler == "inversion":
         def bfn(key, n, p, shape=None):
-            return dist.binomial_inv(
+            return dist.binomial_bernoulli_sum(
                 key, n, p, nmax=cfg.max_bidders_bound, bits=cfg.lane_bits,
                 shape=shape,
             )

@@ -254,13 +254,14 @@ class EnvConfig:
     agg_lite_lanes: int = 4
 
     # Static bound for the binomial-pool bidder-count draw when
-    # binomial_sampler="inversion": the one-uniform CDF walk unrolls
-    # this many levels (the reference's ImplicitKeyword default is
-    # max_bidders=30; the exact rejection sampler's lockstep while
-    # loops under vmap measured ~40 ms/step at bench shape). Counts
-    # for keywords with max_bidders > this bound would truncate — keep
-    # it above your largest max_bidders.
-    max_bidders_bound: int = 64
+    # binomial_sampler="inversion": the exact Bernoulli-sum sampler
+    # flips this many masked coins per cell (the reference's
+    # ImplicitKeyword default is max_bidders=30; both the exact
+    # rejection sampler's lockstep while-loops and a sequential
+    # 64-level inversion walk measured tens of ms/step at bench
+    # shape). Counts for keywords with max_bidders > this bound would
+    # truncate — keep it above your largest max_bidders.
+    max_bidders_bound: int = 32
 
     # Bit width of the uniform behind each AGGREGATE spend draw under
     # cost_sampling="agg": 32 (default; jax.random.normal) or 16 (ndtri

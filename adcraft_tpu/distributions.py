@@ -159,6 +159,36 @@ def binomial_inv(
     return jnp.where(flip, ni - cnt, cnt).astype(jnp.int32)
 
 
+def binomial_bernoulli_sum(
+    key: Array, n: Array, p: Array, nmax: int, bits: int = 32, shape=None
+) -> Array:
+    """EXACT Binomial(n, p) as a sum of ``nmax`` masked Bernoulli flips.
+
+    One uniform per POTENTIAL trial instead of one per draw — more PRNG
+    words than the inversion walk, but zero sequential structure: the
+    (nmax,) + shape flip tensor reduces in one fused pass, where the
+    walk's nmax-level recurrence is a dependency chain XLA stops fusing
+    well past ~32 levels (measured: the 64-level bidder-count walk cost
+    ~24 ms/step in the pool regime — PLAN.md "Measured perf (round
+    5)"). Use for draws whose n-bound is moderate and word budget
+    irrelevant (the pool bidder count: nmax = max_bidders_bound,
+    +nmax*T*K/2 16-bit words per env-day at utilization ~0.15).
+    Distribution-exact for n <= nmax (integer n; trials beyond n are
+    masked); counts truncate at nmax like ``binomial_inv``.
+    """
+    n = jnp.asarray(n, jnp.float32)
+    p = jnp.clip(jnp.asarray(p, jnp.float32), 0.0, 1.0)
+    if shape is None:
+        shape = jnp.broadcast_shapes(n.shape, p.shape)
+    full = (nmax,) + tuple(shape)
+    u = uniform16(key, full) if bits == 16 else jax.random.uniform(key, full)
+    lanes = jnp.arange(nmax, dtype=jnp.float32).reshape(
+        (nmax,) + (1,) * len(shape)
+    )
+    flips = (u <= p) & (lanes < n)
+    return jnp.sum(flips.astype(jnp.int32), axis=0)
+
+
 def binomial_cdf(n: Array, p: Array, nmax: int, shape=None):
     """Precompute ``binomial_inv``'s CDF ladder for fixed (n, p).
 

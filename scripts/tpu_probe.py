@@ -44,9 +44,14 @@ def time_step(tag):
     n_envs = int(os.environ.get("BENCH_NUM_ENVS", 4096))
     # mirror bench.py's config (same env knobs) so "full" hits the warm
     # compile cache and ablations decompose the actual bench path
+    from adcraft_tpu.config import CompetitorModel
+
     cfg = EnvConfig(
         num_keywords=NUM_KEYWORDS,
         kind=KeywordKind.IMPLICIT,
+        competitor_model=CompetitorModel(
+            os.environ.get("BENCH_COMPETITOR", "single_abs_cents")
+        ),
         max_volume=576,
         max_days=60,
         day_kernel=os.environ.get("BENCH_KERNEL", "xla"),
@@ -235,9 +240,16 @@ def patch_nomoments():
     def const_moments_generic(bid, grid):
         return _const(bid)
 
+    def const_moments_pool(bid, loc, scale, k):
+        mu, sig, _ = _const(bid)
+        return 10.0 * mu, 10.0 * sig, jnp.round(
+            jnp.asarray(bid, jnp.float32) * 1000.0
+        ) * jnp.ones_like(mu)
+
     dist_mod.single_cost_cent_moments = const_moments
     dist_mod.single_cost_cent_moments_closed = const_moments_closed
     dist_mod.generic_cost_cent_moments = const_moments_generic
+    dist_mod.pool_cost_deci_moments = const_moments_pool
 
 
 def patch_nogate_agg():
@@ -482,6 +494,8 @@ def _snapshot():
             dist_mod.single_cost_cent_moments_closed,
         (dist_mod, "generic_cost_cent_moments"):
             dist_mod.generic_cost_cent_moments,
+        (dist_mod, "pool_cost_deci_moments"):
+            dist_mod.pool_cost_deci_moments,
         (dist_mod, "agg_cost_cents"): dist_mod.agg_cost_cents,
         (dist_mod, "binomial_inv_from_cdf"): dist_mod.binomial_inv_from_cdf,
         (dist_mod, "rev_sum_cents"): dist_mod.rev_sum_cents,

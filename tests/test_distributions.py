@@ -463,3 +463,39 @@ def test_pool_cost_deci_moments_vs_brute_force():
         assert abs(float(mu_d) - bm) < max(3.0, 0.01 * abs(bm)), (k, mu_d, bm)
         assert abs(float(sig_d) - bs) < max(3.0, 0.02 * bs), (k, sig_d, bs)
         assert float(cmax) == round(1000 * bid)
+
+
+@pytest.mark.unit
+def test_binomial_bernoulli_sum_exact_distribution():
+    """The Bernoulli-sum binomial (the pool bidder-count sampler under
+    inversion mode) must match Binomial(n, p) pmf and respect the n
+    mask, at both bit widths."""
+    import scipy.stats as st
+
+    key = jax.random.PRNGKey(3)
+    for bits in (32, 16):
+        for n, p in ((30, 0.6), (7, 0.15), (0, 0.5)):
+            draws = np.asarray(
+                dist.binomial_bernoulli_sum(
+                    key, float(n), p, nmax=32, bits=bits, shape=(200_000,)
+                )
+            )
+            assert draws.min() >= 0 and draws.max() <= n
+            if n == 0:
+                assert (draws == 0).all()
+                continue
+            mean, var = draws.mean(), draws.var()
+            assert abs(mean - n * p) < 0.05 * max(n * p, 1.0), (bits, n, p)
+            assert abs(var - n * p * (1 - p)) < 0.08 * max(
+                n * p * (1 - p), 1.0
+            ), (bits, n, p)
+            # chi-square against the exact pmf over the bulk support
+            ks = np.arange(n + 1)
+            pmf = st.binom.pmf(ks, n, p)
+            keep = pmf * len(draws) > 10
+            obs = np.bincount(draws, minlength=n + 1)[keep]
+            exp = pmf[keep] * len(draws)
+            chi2 = float(((obs - exp) ** 2 / exp).sum())
+            dof = int(keep.sum()) - 1
+            # generous: reject only catastrophic mismatch
+            assert chi2 < dof * 3 + 30, (bits, n, p, chi2, dof)
