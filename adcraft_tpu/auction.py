@@ -77,19 +77,21 @@ def bidder_binomial_fn(cfg: EnvConfig):
     """The sampler for the pool model's per-cell bidder-count draw.
 
     Bounded by ``cfg.max_bidders_bound`` (not the click buffer). Under
-    binomial_sampler="inversion" this uses the EXACT Bernoulli-sum
-    sampler (one masked flip per potential bidder, fully parallel)
-    rather than the sequential inversion walk: the exact rejection
-    sampler's lockstep while-loops and the 64-level walk's unfusable
-    dependency chain both measured tens of ms/step at bench shape
-    (PLAN.md "Measured perf (round 5)"). Stream changes with the flag,
-    like every other inversion site (PARITY.md "Inversion binomial
-    sampling")."""
+    binomial_sampler="inversion" this builds the (nmax, K) CDF ladder
+    from the PER-KEYWORD (max_bidders, participation_rate) — constant
+    across cells and days — and spends ONE half-word uniform per cell
+    (``binomial_inv_from_cdf``). The alternatives both measured tens of
+    ms/step at bench shape (PLAN.md "Measured perf (round 5)"): the
+    exact rejection sampler's lockstep while-loops, the sequential
+    64-level inversion walk (unfusable dependency chain), AND a
+    parallel Bernoulli-sum (32x the PRNG words). Stream changes with
+    the flag, like every other inversion site (PARITY.md "Inversion
+    binomial sampling")."""
     if cfg.binomial_sampler == "inversion":
         def bfn(key, n, p, shape=None):
-            return dist.binomial_bernoulli_sum(
-                key, n, p, nmax=cfg.max_bidders_bound, bits=cfg.lane_bits,
-                shape=shape,
+            ladder = dist.binomial_cdf(n, p, cfg.max_bidders_bound)
+            return dist.binomial_inv_from_cdf(
+                key, ladder, bits=cfg.lane_bits
             )
 
         return bfn

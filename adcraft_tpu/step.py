@@ -826,6 +826,11 @@ def _cell_tables(
             p_win = jnp.where(
                 kvec > 0, f_bid ** jnp.maximum(kvec, 1.0), 1.0
             )
+            # barrier: without it XLA rematerializes the transcendental
+            # p_win (exp/log power) inside every unrolled level of the
+            # impression walk below (measured ~10 ms/step of the pool
+            # regime; PLAN.md "Measured perf (round 5)")
+            kvec, p_win = jax.lax.optimization_barrier((kvec, p_win))
             impressions = bfn(k_imp, n_auc_t, p_win)
             n_clicks = bfn(k_click, impressions, kw.bctr)
             mu_c, sig_c, cmax_c = dist.pool_cost_deci_moments(
