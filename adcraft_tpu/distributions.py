@@ -771,23 +771,69 @@ def pool_cost_deci_moments(bid: Array, loc: Array, scale: Array, k: Array):
     1/12 decicent^2 quantization variance folded into sigma, matching
     ``cost_create_deci_moments``'s convention for continuous-cost
     models gated on the 0.1-cent grid.
+
+    Implementation (round-5 perf rewrite, same math): substituting
+    u = w^k turns the integral into
+
+        E[M^r | k] = k * sum_q omega_q * g_r(w_q) * w_q^(k-1)
+
+    where g_r(w) = icdf(F(bid) * w)^r is k-INDEPENDENT. The g tables
+    are (Q, K) per day (the only transcendental work; they hoist out of
+    the per-sub-timestep vmap because bid/loc/scale are day-constant),
+    the node powers w_q^(k-1) over INTEGER k are a static (Q, kmax)
+    constant, and the per-cell work collapses to a one-hot contraction
+    over k -- ~100x fewer transcendental evaluations than the naive
+    per-cell quadrature, which measured ~11 ms/step at bench shape
+    (PLAN.md "Measured perf (round 5)"). The k < 3 floor clamps g
+    before the k = 1, 2 table columns; GL-48 is exact for polynomials
+    past degree 90, so the w^(k-1) weight is handled exactly for every
+    k <= kmax.
     """
+    kmax = 33  # table columns k = 1..kmax (reference default 30)
     bid = jnp.asarray(bid, jnp.float32)
     loc = jnp.asarray(loc, jnp.float32)
     scale = jnp.asarray(scale, jnp.float32)
     k = jnp.asarray(k, jnp.float32)
-    shape = jnp.broadcast_shapes(bid.shape, loc.shape, scale.shape, k.shape)
-    nd = len(shape)
-    u, w = _pool_quad()
-    u = u.reshape((_POOL_QUAD_NODES,) + (1,) * nd)
-    w = w.reshape((_POOL_QUAD_NODES,) + (1,) * nd)
+    pshape = jnp.broadcast_shapes(bid.shape, loc.shape, scale.shape)
+    nd = len(pshape)
+    w_nodes, omega = _pool_quad()
+    wq = w_nodes.reshape((_POOL_QUAD_NODES,) + (1,) * nd)
+    og = omega.reshape((_POOL_QUAD_NODES,) + (1,) * nd)
     f_bid = laplace_cdf(bid, loc, scale)
-    ksafe = jnp.maximum(k, 1.0)
-    q = jnp.clip(f_bid * u ** (1.0 / ksafe), 1e-38, 1.0 - 1e-12)
-    m = laplace_icdf(q, loc, scale)
-    m = jnp.where(k < 3.0, jnp.maximum(m, 0.0), m)
-    mu = jnp.sum(w * m, axis=0)
-    m2 = jnp.sum(w * m * m, axis=0)
+    q = jnp.clip(f_bid * wq, 1e-38, 1.0 - 1e-12)
+    g = laplace_icdf(q, loc, scale)  # (Q,) + pshape, k-independent
+    gc = jnp.maximum(g, 0.0)  # the k < 3 zero-padding floor
+    # static node-power table W[q, j] = w_q^j, j = k-1 in 0..kmax-1 —
+    # built host-side from the raw leggauss nodes (f64) so it is a
+    # compile-time constant
+    import numpy as _np
+
+    _x, _ = _np.polynomial.legendre.leggauss(_POOL_QUAD_NODES)
+    _w_np = 0.5 * (_x + 1.0)
+    W = jnp.asarray(
+        _w_np[:, None] ** _np.arange(kmax)[None, :], jnp.float32
+    )  # (Q, kmax)
+    js = jnp.arange(kmax, dtype=jnp.float32)  # j = k - 1
+    clamp_col = js[None, :] < 2.0  # k = 1, 2 use the floored g
+
+    def table(gr, gr_c):
+        # A[j] + pshape: sum_q omega_q * (g or clamped g)^r * w_q^j
+        t_raw = jnp.tensordot(W, og * gr, axes=((0,), (0,)))
+        t_cl = jnp.tensordot(W, og * gr_c, axes=((0,), (0,)))
+        cc = clamp_col.reshape((1, kmax) + (1,) * nd)[0].reshape(
+            (kmax,) + (1,) * nd
+        )
+        return jnp.where(cc, t_cl, t_raw)  # (kmax,) + pshape
+
+    A1 = table(g, gc)
+    A2 = table(g * g, gc * gc)
+    # per-cell: one-hot over integer k contracts the tables
+    ki = jnp.clip(jnp.round(k), 0.0, float(kmax)).astype(jnp.int32)
+    onehot = jax.nn.one_hot(ki - 1, kmax, dtype=jnp.float32)  # (..., kmax)
+    # move the table's leading j axis last for the contraction
+    perm = tuple(range(1, 1 + nd)) + (0,)
+    mu = k * jnp.sum(onehot * jnp.transpose(A1, perm), axis=-1)
+    m2 = k * jnp.sum(onehot * jnp.transpose(A2, perm), axis=-1)
     zero_k = k <= 0.0
     mu = jnp.where(zero_k, 0.0, mu)
     m2 = jnp.where(zero_k, 0.0, m2)

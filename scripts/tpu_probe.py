@@ -355,11 +355,13 @@ def patch_nodraws_agg():
     only) — isolates the cost of the per-cell aggregate draws."""
     from adcraft_tpu import distributions as dist_mod
 
-    def det_agg_cost(key, n_clicks, mu, sigma, cmax, cents_dtype):
+    def det_agg_cost(key, n_clicks, mu, sigma, cmax, cents_dtype,
+                     cmin=None, bits=32):
         import jax.numpy as jnp
 
         n = n_clicks.astype(jnp.float32)
-        return jnp.clip(jnp.round(n * mu), 0.0, n * cmax).astype(cents_dtype)
+        lo = 0.0 if cmin is None else n * cmin
+        return jnp.clip(jnp.round(n * mu), lo, n * cmax).astype(cents_dtype)
 
     def det_rev_sum(key, nconv, rev_mean, rev_std, cents_dtype):
         import jax.numpy as jnp
