@@ -405,3 +405,43 @@ def test_rollout_matches_sequential_steps():
     seq_stack = jax.tree.map(lambda *a: jnp.stack(a), *seq)
     st2, roll = venv.rollout(st0, sched, 3)
     check(seq_stack, st, roll, st2)
+
+
+@pytest.mark.unit
+def test_rollout_pool_agg_matches_steps():
+    """rollout() x straggler compaction x BINOMIAL_POOL agg: the scan-
+    over-days program must reproduce per-day step() trajectories with
+    the pool model's per-cell aux table threaded through the compacted
+    gate (the one combination the other rollout/pool tests don't
+    cover)."""
+    from adcraft_tpu.config import CompetitorModel
+
+    cfg = EnvConfig(
+        num_keywords=5, kind=KeywordKind.IMPLICIT, max_volume=96,
+        competitor_model=CompetitorModel.BINOMIAL_POOL,
+        conv_sampling="counts", rev_sampling="sum", cost_sampling="agg",
+        lane_bits=16, binomial_sampler="inversion", gate_scope="chunk",
+    )
+    table = simple_experiment_table(32, 0.4)
+    venv = VectorBiddingEnv(cfg, 96, table=table)  # >= compaction min_batch
+    st0, _ = venv.reset(jax.random.PRNGKey(2))
+    bids = jnp.full((96, 5), 1.0)
+    bud = jnp.full((96,), 2.0)
+    st, seq = st0, []
+    for _ in range(3):
+        st, ts = venv.step(st, bids, bud)
+        seq.append(ts)
+    seq_stack = jax.tree.map(lambda *a: jnp.stack(a), *seq)
+    st2, roll = venv.rollout(st0, bids, 3, bud)
+    for (pa, la), (pb, lb) in zip(
+        jax.tree_util.tree_leaves_with_path(seq_stack.outcomes),
+        jax.tree_util.tree_leaves_with_path(roll.outcomes),
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(la), np.asarray(lb),
+            err_msg=jax.tree_util.keystr(pa),
+        )
+    np.testing.assert_allclose(
+        np.asarray(seq_stack.reward), np.asarray(roll.reward),
+        atol=1e-5, rtol=1e-6,
+    )
