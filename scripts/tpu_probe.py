@@ -52,7 +52,7 @@ def time_step(tag):
         competitor_model=CompetitorModel(
             os.environ.get("BENCH_COMPETITOR", "single_abs_cents")
         ),
-        max_volume=576,
+        max_volume=int(os.environ.get("BENCH_MAX_VOLUME", "576")),
         max_days=60,
         day_kernel=os.environ.get("BENCH_KERNEL", "xla"),
         prng_impl=os.environ.get("BENCH_PRNG", "threefry2x32"),
@@ -70,7 +70,10 @@ def time_step(tag):
         gate_scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
         agg_draw_bits=int(os.environ.get("BENCH_AGG_BITS", "32")),
     )
-    table = simple_experiment_table(128, 0.8)
+    table = simple_experiment_table(
+        float(os.environ.get("PROBE_VOL", "128")),
+        float(os.environ.get("PROBE_CVR", "0.8")),
+    )
     venv = VectorBiddingEnv(cfg, n_envs, table=table)
     key = jax.random.PRNGKey(0)
     state, _ = venv.reset(key)
